@@ -1,0 +1,330 @@
+"""Per-input signal handlers, vectorized as masked updates.
+
+Each handler reproduces one RegisterActorInput callback from the reference
+(citations inline). apply_one() consumes a single queued event (scalar
+target + input id under a liveness flag) and applies every handler behind a
+mask — all lanes compute, only the target row changes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from c_game_engine_tpu.actors.defs import (
+    ActorClass,
+    DecimalOp,
+    DoorState,
+    Input,
+    LogicOp,
+    Output,
+)
+from c_game_engine_tpu.actors.signals import fire
+from c_game_engine_tpu.assets.kvlist import ParamType
+from c_game_engine_tpu.utils.mathx import quat_rotate
+
+
+def door_forward(actors_quat):
+    """Door travel direction: +Z rotated by the door's quat
+    (JPH_Quat_RotateAxisZ, Door.c:53-71)."""
+    z = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32), actors_quat.shape[:-1] + (3,))
+    return quat_rotate(actors_quat, z)
+
+
+def door_set_state(cmap, actors, fired, fired_pi, mask, new_state, anim):
+    """Vectorized DoorSetState (Door.c:73-105). mask: [N]; new_state/anim:
+    [N] arrays (per-actor targets). Fires the transition outputs."""
+    is_door = mask & (cmap.cls == int(ActorClass.DOOR))
+    fwd = door_forward(actors.quat)
+    closed_pos = cmap.init_pos
+    open_pos = cmap.sfparams[:, 2:5]
+
+    to_closed = is_door & (new_state == int(DoorState.CLOSED))
+    to_opening = is_door & (new_state == int(DoorState.OPENING))
+    to_open = is_door & (new_state == int(DoorState.OPEN))
+    to_closing = is_door & (new_state == int(DoorState.CLOSING))
+
+    vel = actors.vel
+    pos = actors.pos
+    vel = jnp.where((to_closed | to_open)[:, None], 0.0, vel)
+    vel = jnp.where(to_opening[:, None], fwd, vel)
+    vel = jnp.where(to_closing[:, None], -fwd, vel)
+    pos = jnp.where(to_closed[:, None], closed_pos, pos)
+    pos = jnp.where(to_open[:, None], open_pos, pos)
+
+    idata = actors.idata.at[:, 0].set(jnp.where(is_door, new_state, actors.idata[:, 0]))
+    fdata = actors.fdata.at[:, 0].set(jnp.where(is_door, anim, actors.fdata[:, 0]))
+
+    fired, fired_pi = fire(fired, fired_pi, to_closed, Output.FULLY_CLOSED)
+    fired, fired_pi = fire(fired, fired_pi, to_opening, Output.OPENING)
+    fired, fired_pi = fire(fired, fired_pi, to_open, Output.FULLY_OPENED)
+    fired, fired_pi = fire(fired, fired_pi, to_closing, Output.CLOSING)
+
+    actors = actors.replace(vel=vel, pos=pos, idata=idata, fdata=fdata)
+    return actors, fired, fired_pi
+
+
+def remove_actors(state, fired, fired_pi, mask):
+    """RemoveActor (Map.c:130-160): fire `killed`, deactivate, clear the
+    player's targeted/held references."""
+    fired, fired_pi = fire(fired, fired_pi, mask, Output.KILLED)
+    actors = state.actors.replace(
+        active=state.actors.active & ~mask,
+        visible=state.actors.visible & ~mask,
+    )
+    idx = jnp.arange(mask.shape[0])
+    p = state.player
+    tgt_killed = (p.targeted_actor >= 0) & jnp.any(mask & (idx == p.targeted_actor))
+    held_killed = (p.held_actor >= 0) & jnp.any(mask & (idx == p.held_actor))
+    p = p.replace(
+        targeted_actor=jnp.where(tgt_killed, -1, p.targeted_actor),
+        held_actor=jnp.where(held_killed, -1, p.held_actor),
+    )
+    return state.replace(actors=actors, player=p), fired, fired_pi
+
+
+def apply_one(cmap, state, fired, fired_pi, live, t, k, ptype, pf, pi):
+    """Apply one event: input `k` on actor `t` with packed param."""
+    n = cmap.num_actors
+    actors = state.actors
+    idx = jnp.arange(n)
+    onehot = (idx == t) & live & actors.active
+    cls = cmap.cls
+
+    def m(input_id, *classes):
+        mm = onehot & (k == int(input_id))
+        if classes:
+            cls_ok = jnp.zeros_like(mm)
+            for c in classes:
+                cls_ok = cls_ok | (cls == int(c))
+            mm = mm & cls_ok
+        return mm
+
+    # ---- kill (ActorDefinition.c:73-77; unregistered on io_proxy) ----
+    kill_m = m(Input.KILL) & (cls != int(ActorClass.IO_PROXY))
+    state, fired, fired_pi = remove_actors(state, fired, fired_pi, kill_m)
+    actors = state.actors
+
+    # ---- door open/close (Door.c:214-240) ----
+    dstate = actors.idata[:, 0]
+    anim = actors.fdata[:, 0]
+    width = cmap.sfparams[:, 0]
+    open_m = m(Input.OPEN, ActorClass.DOOR)
+    go_opening = open_m & (dstate == int(DoorState.CLOSED))
+    go_opening_rev = open_m & (dstate == int(DoorState.CLOSING))
+    close_m = m(Input.CLOSE, ActorClass.DOOR)
+    go_closing = close_m & (dstate == int(DoorState.OPEN))
+    go_closing_rev = close_m & (dstate == int(DoorState.OPENING))
+    door_mask = go_opening | go_opening_rev | go_closing | go_closing_rev
+    new_state = jnp.where(
+        go_opening | go_opening_rev, int(DoorState.OPENING), int(DoorState.CLOSING)
+    )
+    new_anim = jnp.where(go_opening | go_closing, 0.0, width - anim)
+    actors, fired, fired_pi = door_set_state(
+        cmap, actors, fired, fired_pi, door_mask, new_state, new_anim
+    )
+
+    # ---- laser turn_on/turn_off (Laser.c:163-177) ----
+    laser_on = m(Input.TURN_ON, ActorClass.LASER)
+    laser_off = m(Input.TURN_OFF, ActorClass.LASER)
+    # emitter forwards to its pre-spawned laser slot + swaps skin
+    # (LaserEmitter.c:152-166)
+    em_on = m(Input.TURN_ON, ActorClass.LASER_EMITTER)
+    em_off = m(Input.TURN_OFF, ActorClass.LASER_EMITTER)
+    child = cmap.siparams[:, 2]  # laser slot per emitter
+    # em_on/em_off have at most one bit set (single event)
+    em_on_slot = jnp.where(jnp.any(em_on), child[jnp.argmax(em_on)], -1)
+    em_off_slot = jnp.where(jnp.any(em_off), child[jnp.argmax(em_off)], -1)
+    child_on_mask = idx == em_on_slot
+    child_off_mask = idx == em_off_slot
+    turn_on = laser_on | (child_on_mask & (cls == int(ActorClass.LASER)))
+    turn_off = laser_off | (child_off_mask & (cls == int(ActorClass.LASER)))
+    actors = actors.replace(
+        idata=actors.idata.at[:, 0].set(
+            jnp.where(turn_on, 1, jnp.where(turn_off, 0, actors.idata[:, 0]))
+        ),
+        visible=jnp.where(turn_on, True, jnp.where(turn_off, False, actors.visible)),
+        skin=jnp.where(
+            em_on, cmap.siparams[:, 0] + 1, jnp.where(em_off, 0, actors.skin)
+        ),
+    )
+
+    # ---- env set / set_instant (GlobalLight/Fog/TonemapController) ----
+    env = state.env
+    tick = state.tick
+    interp_ticks = cmap.siparams[:, 0]
+
+    for klass, chan in (
+        (ActorClass.GLOBAL_LIGHT, "light"),
+        (ActorClass.GLOBAL_FOG, "fog"),
+        (ActorClass.TONEMAP_CONTROLLER, "tonemap"),
+    ):
+        set_m = m(Input.SET, klass)
+        set_i = m(Input.SET_INSTANT, klass)
+        any_set = jnp.any(set_m)
+        any_set_i = jnp.any(set_i)
+        t_row = jnp.argmax(set_m | set_i)
+        instant = any_set_i | (any_set & (interp_ticks[t_row] == 0))
+        start_interp = any_set & (interp_ticks[t_row] != 0)
+        if klass == ActorClass.GLOBAL_LIGHT:
+            target_val = cmap.sfparams[t_row, 0:4]
+            env = env.replace(
+                light_color=jnp.where(instant, target_val, env.light_color),
+                light_interp_actor=jnp.where(
+                    start_interp, t_row, jnp.where(instant, -1, env.light_interp_actor)
+                ).astype(jnp.int32),
+                light_interp_start=jnp.where(start_interp, tick, env.light_interp_start),
+                light_interp_prev=jnp.where(start_interp, env.light_color, env.light_interp_prev),
+            )
+        elif klass == ActorClass.GLOBAL_FOG:
+            target_c = cmap.sfparams[t_row, 0:4]
+            target_se = cmap.sfparams[t_row, 4:6]
+            cur = jnp.concatenate([env.fog_color, jnp.stack([env.fog_start, env.fog_end])])
+            env = env.replace(
+                fog_color=jnp.where(instant, target_c, env.fog_color),
+                fog_start=jnp.where(instant, target_se[0], env.fog_start),
+                fog_end=jnp.where(instant, target_se[1], env.fog_end),
+                fog_interp_actor=jnp.where(
+                    start_interp, t_row, jnp.where(instant, -1, env.fog_interp_actor)
+                ).astype(jnp.int32),
+                fog_interp_start=jnp.where(start_interp, tick, env.fog_interp_start),
+                fog_interp_prev=jnp.where(start_interp, cur, env.fog_interp_prev),
+            )
+        else:
+            target_e = cmap.sfparams[t_row, 0]
+            env = env.replace(
+                exposure=jnp.where(instant, target_e, env.exposure),
+                tonemap_interp_actor=jnp.where(
+                    start_interp, t_row, jnp.where(instant, -1, env.tonemap_interp_actor)
+                ).astype(jnp.int32),
+                tonemap_interp_start=jnp.where(start_interp, tick, env.tonemap_interp_start),
+                tonemap_interp_prev=jnp.where(start_interp, env.exposure, env.tonemap_interp_prev),
+            )
+
+    # ---- trigger enable/disable/force (Trigger.c:53-67) + goal (Goal.c) ----
+    en = m(Input.ENABLE, ActorClass.TRIGGER, ActorClass.GOAL)
+    dis = m(Input.DISABLE, ActorClass.TRIGGER, ActorClass.GOAL)
+    actors = actors.replace(
+        idata=actors.idata.at[:, 0].set(
+            jnp.where(en, 1, jnp.where(dis, 0, actors.idata[:, 0]))
+        )
+    )
+    force = m(Input.FORCE_TRIGGER, ActorClass.TRIGGER)
+    fired, fired_pi = fire(fired, fired_pi, force, Output.TRIGGERED)
+
+    # ---- camera enable/disable (Camera.c:23-77) ----
+    cam_en = m(Input.ENABLE, ActorClass.CAMERA)
+    cam_dis = m(Input.DISABLE, ActorClass.CAMERA)
+    cam = state.camera_actor
+    cam = jnp.where(jnp.any(cam_en), t, cam)
+    cam = jnp.where(jnp.any(cam_dis) & (cam == t), -1, cam)
+    state = state.replace(camera_actor=cam.astype(jnp.int32))
+
+    # ---- logic binary / decimal operands + execute ----
+    opa_b = m(Input.OPERAND_A, ActorClass.LOGIC_BINARY) & (ptype == int(ParamType.BOOL))
+    opb_b = m(Input.OPERAND_B, ActorClass.LOGIC_BINARY) & (ptype == int(ParamType.BOOL))
+    actors = actors.replace(
+        idata=actors.idata.at[:, 0]
+        .set(jnp.where(opa_b, pi, actors.idata[:, 0]))
+        .at[:, 1]
+        .set(jnp.where(opb_b, pi, actors.idata[:, 1]))
+    )
+    opa_d = m(Input.OPERAND_A, ActorClass.LOGIC_DECIMAL) & (ptype == int(ParamType.FLOAT))
+    opb_d = m(Input.OPERAND_B, ActorClass.LOGIC_DECIMAL) & (ptype == int(ParamType.FLOAT))
+    actors = actors.replace(
+        fdata=actors.fdata.at[:, 0]
+        .set(jnp.where(opa_d, pf[0], actors.fdata[:, 0]))
+        .at[:, 1]
+        .set(jnp.where(opb_d, pf[0], actors.fdata[:, 1]))
+    )
+
+    exe_b = m(Input.EXECUTE, ActorClass.LOGIC_BINARY)
+    a_v = actors.idata[:, 0] != 0
+    b_v = actors.idata[:, 1] != 0
+    op = cmap.siparams[:, 0]
+    res_b = jnp.where(
+        op == int(LogicOp.AND), a_v & b_v, jnp.where(op == int(LogicOp.OR), a_v | b_v, ~a_v)
+    )
+    exe_d = m(Input.EXECUTE, ActorClass.LOGIC_DECIMAL)
+    fa, fb = actors.fdata[:, 0], actors.fdata[:, 1]
+    res_d = jnp.select(
+        [
+            op == int(DecimalOp.EQUAL),
+            op == int(DecimalOp.GREATER_THAN),
+            op == int(DecimalOp.GREATER_THAN_OR_EQUAL),
+            op == int(DecimalOp.LESS_THAN),
+            op == int(DecimalOp.LESS_THAN_OR_EQUAL),
+        ],
+        [fa == fb, fa > fb, fa >= fb, fa < fb, fa <= fb],
+        default=False,
+    )
+    exe = exe_b | exe_d
+    res = jnp.where(exe_b, res_b, res_d)
+    fired, fired_pi = fire(fired, fired_pi, exe & res, Output.ON_TRUE)
+    fired, fired_pi = fire(fired, fired_pi, exe & ~res, Output.ON_FALSE)
+    fired, fired_pi = fire(
+        fired, fired_pi, exe, Output.EXECUTION_RESULT, pi=res.astype(jnp.int32)
+    )
+
+    # ---- logic counter (LogicCounter.c:36-121) ----
+    add_m = m(Input.ADD, ActorClass.LOGIC_COUNTER) & (ptype == int(ParamType.INTEGER))
+    sub_m = m(Input.SUBTRACT, ActorClass.LOGIC_COUNTER) & (ptype == int(ParamType.INTEGER))
+    inc_m = m(Input.INCREMENT, ActorClass.LOGIC_COUNTER)
+    # NOTE: the reference's decrement handler adds +1 (LogicCounter.c
+    # LogicCounterDecrementHandler calls ChangeValue(1,...), an apparent
+    # upstream bug); we implement the documented behavior (-1).
+    dec_m = m(Input.DECREMENT, ActorClass.LOGIC_COUNTER)
+    change = (
+        jnp.where(add_m, pi, 0)
+        + jnp.where(sub_m, -pi, 0)
+        + jnp.where(inc_m, 1, 0)
+        + jnp.where(dec_m, -1, 0)
+    )
+    counter_m = add_m | sub_m | inc_m | dec_m
+    prev = actors.idata[:, 0]
+    cmin, cmax = cmap.siparams[:, 0], cmap.siparams[:, 1]
+    clamp_min, clamp_max = cmap.siparams[:, 2] != 0, cmap.siparams[:, 3] != 0
+    newv = prev + change
+    newv = jnp.where(clamp_max, jnp.minimum(newv, cmax), newv)
+    newv = jnp.where(clamp_min, jnp.maximum(newv, cmin), newv)
+    actors = actors.replace(
+        idata=actors.idata.at[:, 0].set(jnp.where(counter_m, newv, prev))
+    )
+    hit_max = counter_m & clamp_max & (prev < cmax) & (newv == cmax)
+    left_max = counter_m & clamp_max & (prev == cmax) & (newv < cmax)
+    hit_min = counter_m & clamp_min & (prev > cmin) & (newv == cmin)
+    left_min = counter_m & clamp_min & (prev == cmin) & (newv > cmin)
+    changed = counter_m & (prev != newv)
+    fired, fired_pi = fire(fired, fired_pi, hit_max, Output.HIT_MAX)
+    fired, fired_pi = fire(fired, fired_pi, left_max, Output.LEFT_MAX)
+    fired, fired_pi = fire(fired, fired_pi, hit_min, Output.HIT_MIN)
+    fired, fired_pi = fire(fired, fired_pi, left_min, Output.LEFT_MIN)
+    fired, fired_pi = fire(fired, fired_pi, changed, Output.COUNTER_CHANGED, pi=newv)
+
+    # ---- physics model set_color/set_skin (PhysicsModel.c:86-113) ----
+    setc = m(Input.SET_COLOR, ActorClass.PHYSICS_MODEL) & (ptype == int(ParamType.COLOR))
+    actors = actors.replace(
+        mod_color=jnp.where(setc[:, None], pf, actors.mod_color)
+    )
+    sets = m(Input.SET_SKIN, ActorClass.PHYSICS_MODEL) & (
+        (ptype == int(ParamType.BYTE))
+        | (ptype == int(ParamType.INTEGER))
+        | (ptype == int(ParamType.UINT_64))
+    )
+    actors = actors.replace(skin=jnp.where(sets, pi, actors.skin))
+
+    # ---- sound player (SoundPlayer.c:50-121; audio is host-side, we track
+    # the play state + counters) ----
+    play = m(Input.PLAY, ActorClass.SOUND_PLAYER)
+    stop = m(Input.STOP, ActorClass.SOUND_PLAYER) | m(Input.PAUSE, ActorClass.SOUND_PLAYER)
+    resume = m(Input.RESUME, ActorClass.SOUND_PLAYER)
+    actors = actors.replace(
+        idata=actors.idata.at[:, 0].set(
+            jnp.where(play | resume, 1, jnp.where(stop, 0, actors.idata[:, 0]))
+        )
+    )
+    state = state.replace(
+        sound_plays=state.sound_plays + jnp.sum(play.astype(jnp.int32))
+    )
+
+    state = state.replace(actors=actors, env=env)
+    return state, fired, fired_pi

@@ -1,0 +1,138 @@
+"""Runtime signal (I/O) system.
+
+The reference fires outputs synchronously and recursively
+(ActorFireOutput -> GetActorsByName -> ActorTriggerInput -> handler,
+engine/src/structs/Actor.c:52-122). Here outputs fired during a tick are
+accumulated into a dense [N, NUM_OUTPUTS] matrix, expanded through the
+compiled edge table into a bounded event queue, and applied in
+SIGNAL_ROUNDS bounded rounds (breadth-first instead of depth-first; chains
+deeper than SIGNAL_ROUNDS per tick are carried into the next tick's queue).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from c_game_engine_tpu.actors.defs import (
+    ActorClass,
+    DecimalOp,
+    DoorState,
+    Input,
+    LogicOp,
+    Output,
+)
+from c_game_engine_tpu.assets.kvlist import ParamType
+from c_game_engine_tpu.core.state import EVENT_CAPACITY, EventQueue
+
+NUM_OUTPUTS = len(Output)
+
+# default param carried by each output when fired (Param override on the
+# edge wins, Actor.c:103-107)
+_OUTPUT_PTYPE = jnp.zeros(NUM_OUTPUTS, jnp.int32).at[int(Output.EXECUTION_RESULT)].set(
+    int(ParamType.BOOL)
+).at[int(Output.COUNTER_CHANGED)].set(int(ParamType.INTEGER))
+
+
+def empty_fired(n):
+    return (
+        jnp.zeros((n, NUM_OUTPUTS), bool),
+        jnp.zeros((n, NUM_OUTPUTS), jnp.int32),
+    )
+
+
+def fire(fired, fired_pi, mask, output: Output, pi=None):
+    """Mark output fired for all actors where mask [N] is set."""
+    fired = fired.at[:, int(output)].set(fired[:, int(output)] | mask)
+    if pi is not None:
+        fired_pi = fired_pi.at[:, int(output)].set(
+            jnp.where(mask, pi, fired_pi[:, int(output)])
+        )
+    return fired, fired_pi
+
+
+def expand_outputs(cmap, fired, fired_pi, prev_queue: EventQueue) -> EventQueue:
+    """Convert fired outputs into queued events through the edge table,
+    appending to whatever is already in prev_queue (normally empty)."""
+    e = cmap.edge_src.shape[0]
+    valid_edge = cmap.edge_src >= 0
+    src = jnp.clip(cmap.edge_src, 0, None)
+    out = cmap.edge_out
+    triggered = valid_edge & fired[src, out]
+
+    # param: edge override if set, else the output's default payload
+    has_override = cmap.edge_ptype != int(ParamType.NONE)
+    ptype = jnp.where(has_override, cmap.edge_ptype, _OUTPUT_PTYPE[out])
+    default_pi = fired_pi[src, out]
+    pi = jnp.where(has_override, cmap.edge_pi, default_pi)
+    pf = jnp.where(
+        has_override[:, None], cmap.edge_pf,
+        default_pi[:, None].astype(jnp.float32) * (jnp.arange(4) == 0),
+    )
+
+    # compact triggered edges into queue slots after the existing events
+    base = prev_queue.count
+    slot = jnp.cumsum(triggered.astype(jnp.int32)) - 1 + base
+    ok = triggered & (slot < EVENT_CAPACITY)
+    slot_c = jnp.clip(slot, 0, EVENT_CAPACITY - 1)
+
+    def scatter(buf, vals):
+        return buf.at[slot_c].set(jnp.where(ok if buf.ndim == 1 else ok[:, None], vals, buf[slot_c]))
+
+    target = scatter(prev_queue.target, cmap.edge_dst)
+    inp = scatter(prev_queue.input, cmap.edge_in)
+    q_ptype = scatter(prev_queue.ptype, ptype)
+    q_pf = scatter(prev_queue.pf, pf)
+    q_pi = scatter(prev_queue.pi, pi)
+    n_new = jnp.sum(ok.astype(jnp.int32))
+    n_drop = jnp.sum((triggered & ~ok).astype(jnp.int32))
+    return EventQueue(
+        target=target,
+        input=inp,
+        ptype=q_ptype,
+        pf=q_pf,
+        pi=q_pi,
+        count=jnp.minimum(base + n_new, EVENT_CAPACITY),
+        dropped=prev_queue.dropped + n_drop,
+    )
+
+
+def apply_events(cmap, state, fired, fired_pi):
+    """Consume the event queue sequentially (lax.scan over slots), applying
+    each input handler; newly fired outputs accumulate into fired/fired_pi.
+    Returns (state, fired, fired_pi) with an emptied queue."""
+    from c_game_engine_tpu.actors import handlers  # circular-safe local import
+
+    q = state.events
+    n_events = q.count
+
+    def body(carry, i):
+        st, fd, fpi = carry
+        live = i < n_events
+        t = q.target[i]
+        k = q.input[i]
+        st, fd, fpi = handlers.apply_one(
+            cmap, st, fd, fpi, live, t, k, q.ptype[i], q.pf[i], q.pi[i]
+        )
+        return (st, fd, fpi), None
+
+    (state, fired, fired_pi), _ = jax.lax.scan(
+        body, (state, fired, fired_pi), jnp.arange(EVENT_CAPACITY)
+    )
+    from c_game_engine_tpu.core.state import empty_events
+
+    state = state.replace(events=empty_events().replace(dropped=q.dropped))
+    return state, fired, fired_pi
+
+
+def process_signals(cmap, state, fired, fired_pi, rounds: int):
+    """Bounded propagation: seed the queue with the caller's fired outputs
+    (contact + update phases), then alternate apply/expand for `rounds`
+    rounds. Events still queued after the last round carry into the next
+    tick (the reference's recursion depth is unbounded; game content is
+    <= 3 deep)."""
+    state = state.replace(events=expand_outputs(cmap, fired, fired_pi, state.events))
+    for _ in range(rounds):
+        state, new_fired, new_pi = apply_events(cmap, state, *empty_fired(cmap.num_actors))
+        state = state.replace(events=expand_outputs(cmap, new_fired, new_pi, state.events))
+    return state
