@@ -17,6 +17,10 @@ import numpy as np
 import jax.numpy as jnp
 
 from c_game_engine_tpu.actors.defs import (
+    NUM_FDATA,
+    NUM_IDATA,
+    NUM_SFPARAMS,
+    NUM_SIPARAMS,
     ActorClass,
     CLASS_INPUTS,
     CLASS_NAMES,
@@ -85,7 +89,12 @@ def compile_map(
 ) -> CompiledMap:
     if isinstance(source, str):
         name = source
-        gmap = decode_gmap(source)
+        if source.endswith(".json"):
+            from c_game_engine_tpu.compiler.sectors import compile_map_source
+
+            gmap = compile_map_source(source)
+        else:
+            gmap = decode_gmap(source)
     else:
         gmap = source
     resolver = resolver or AssetResolver(search_paths)
@@ -314,11 +323,11 @@ def compile_map(
         init_visible=stack(lambda r: r.visible, (), bool, pad=False),
         init_skin=stack(lambda r: r.skin, (), np.int32),
         init_mod_color=stack(lambda r: r.mod_color, (4,), np.float32),
-        init_fdata=stack(lambda r: r.fdata, (r.fdata.shape[0],), np.float32),
-        init_idata=stack(lambda r: r.idata, (r.idata.shape[0],), np.int32),
+        init_fdata=stack(lambda r: r.fdata, (NUM_FDATA,), np.float32),
+        init_idata=stack(lambda r: r.idata, (NUM_IDATA,), np.int32),
         flags=stack(lambda r: r.flags, (), np.int32),
-        sfparams=stack(lambda r: r.sf, (r.sf.shape[0],), np.float32),
-        siparams=stack(lambda r: r.si, (r.si.shape[0],), np.int32),
+        sfparams=stack(lambda r: r.sf, (NUM_SFPARAMS,), np.float32),
+        siparams=stack(lambda r: r.si, (NUM_SIPARAMS,), np.int32),
         motion=jnp.asarray(motion),
         shape=stack(lambda r: r.shape, (), np.int32),
         halfext=jnp.asarray(halfext),

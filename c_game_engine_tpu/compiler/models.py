@@ -49,9 +49,11 @@ class AssetResolver:
         self._materials: dict[str, object] = {}
 
     def resolve(self, rel: str) -> Path | None:
+        if not rel:
+            return None
         for base in self.search_paths:
             p = base / rel
-            if p.exists():
+            if p.is_file():
                 return p
         return None
 

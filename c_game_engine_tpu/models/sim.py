@@ -1,0 +1,80 @@
+"""Flagship model: a batched map simulation.
+
+Bundles a CompiledMap with jitted batched reset/step/rollout. This is the
+TPU-native replacement for the reference's engine loop (InitEngine /
+EngineIteration / physics thread, SURVEY.md §3): B environments step in
+lockstep; time is a `lax.scan`; the batch axis vmaps and (optionally)
+shards over a device mesh (see parallel/).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from c_game_engine_tpu.compiler.compile import compile_map
+from c_game_engine_tpu.core.actions import Actions
+from c_game_engine_tpu.core.state import EnvState, reset
+from c_game_engine_tpu.core.step import step
+
+
+def reset_batch(cmap, batch: int) -> EnvState:
+    """Fresh state broadcast over a batch axis."""
+    single = reset(cmap)
+    return jax.tree.map(lambda x: jnp.broadcast_to(x, (batch, *x.shape)), single)
+
+
+def step_batch(cmap, state: EnvState, actions: Actions) -> EnvState:
+    return jax.vmap(step, in_axes=(None, 0, 0))(cmap, state, actions)
+
+
+def rollout(cmap, state: EnvState, actions: Actions) -> EnvState:
+    """Scan over a [T, B, ...] action stream; returns the final state.
+
+    The fixed-timestep loop (PhysicsThread.c:59-112) as a lax.scan."""
+
+    def body(st, act_t):
+        return step_batch(cmap, st, act_t), None
+
+    final, _ = jax.lax.scan(body, state, actions)
+    return final
+
+
+def rollout_collect(cmap, state: EnvState, actions: Actions, collect_fn):
+    """Like rollout but also stacks collect_fn(state) per tick."""
+
+    def body(st, act_t):
+        st = step_batch(cmap, st, act_t)
+        return st, collect_fn(st)
+
+    return jax.lax.scan(body, state, actions)
+
+
+@dataclass
+class BatchedSim:
+    """Convenience bundle with jit-compiled entry points."""
+
+    cmap: Any
+    batch: int
+    reset: Any
+    step: Any
+    rollout: Any
+
+    @property
+    def name(self) -> str:
+        return self.cmap.aux["name"] if self.cmap.aux else "map"
+
+
+def make_sim(map_source: str, batch: int = 4096, jit: bool = True) -> BatchedSim:
+    cmap = compile_map(map_source)
+    _reset = functools.partial(reset_batch, cmap)
+    _step = functools.partial(step_batch, cmap)
+    _roll = functools.partial(rollout, cmap)
+    if jit:
+        _step = jax.jit(_step)
+        _roll = jax.jit(_roll)
+    return BatchedSim(cmap=cmap, batch=batch, reset=lambda: _reset(batch), step=_step, rollout=_roll)

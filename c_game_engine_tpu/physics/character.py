@@ -49,13 +49,22 @@ def _collect_contacts(cmap, actors, pos, exclude_actor):
     )
     delta = p_seg - q_tri
     dist = jnp.linalg.norm(delta, axis=-1)
-    tri_depth = jnp.where(cmap.tri_valid, CAPSULE_RADIUS - dist, -jnp.inf)
-    tri_normal = safe_normalize(delta)
-    # degenerate (segment touching the plane): fall back to the face normal
-    # oriented toward the capsule
+    raw_n = safe_normalize(delta)
+    # Orient contacts to push toward the capsule-center side of the face:
+    # in deep penetration the closest segment point crosses the plane and
+    # raw delta points *into* the triangle (classic closest-point failure),
+    # which would eject the capsule sideways/downwards.
     face_n = cmap.tri_normal
-    side = jnp.sign(jnp.sum((pos - a) * face_n, -1))[..., None]
-    tri_normal = jnp.where(dist[..., None] > 1e-6, tri_normal, face_n * side)
+    side = jnp.sign(jnp.sum((pos - a) * face_n, -1))
+    side = jnp.where(side == 0, 1.0, side)
+    flip = jnp.sign(jnp.sum(raw_n * face_n, -1)) * side
+    flip = jnp.where(flip == 0, 1.0, flip)
+    tri_normal = raw_n * flip[..., None]
+    tri_normal = jnp.where(dist[..., None] > 1e-6, tri_normal, face_n * side[..., None])
+    # penetration measured along the oriented normal (signed; covers the
+    # crossed-plane case where dist alone underestimates)
+    signed = jnp.sum(delta * tri_normal, -1)
+    tri_depth = jnp.where(cmap.tri_valid, CAPSULE_RADIUS - signed, -jnp.inf)
 
     # --- solid actor boxes (doors, props, dynamic bodies) ---
     solid = (
@@ -95,8 +104,11 @@ def resolve_capsule(cmap, actors, pos, vel, exclude_actor=-1, iters: int = 4):
         worst = jnp.argmax(depth)
         d = depth[worst]
         n = normal[worst]
-        hit = d > 1e-5
-        pos = jnp.where(hit, pos + n * d, pos)
+        # contact tolerance: a contact within 1 cm separation still counts
+        # for grounding/velocity clipping (Jolt's collision tolerance), but
+        # only actual penetration moves the capsule
+        hit = d > -0.01
+        pos = jnp.where(hit, pos + n * jnp.maximum(d, 0.0), pos)
         # clip velocity against the contact plane (slide)
         vn = jnp.sum(vel * n)
         vel = jnp.where(hit & (vn < 0), vel - n * vn, vel)

@@ -1,0 +1,29 @@
+import os
+
+# Hermetic CPU tests with a virtual 8-device mesh (SURVEY.md §4): must be set
+# before jax initializes.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pytest  # noqa: E402
+
+
+REF_MAPS = "/root/reference/assets/game/map"
+
+
+@pytest.fixture(scope="session")
+def test_map():
+    from c_game_engine_tpu.compiler.compile import compile_map
+
+    return compile_map(f"{REF_MAPS}/test.gmap")
+
+
+@pytest.fixture(scope="session")
+def rig():
+    """Synthetic kitchen-sink map shared by the behavior tests (single
+    compile per session)."""
+    from tests.worldgen import build_rig
+
+    return build_rig()
