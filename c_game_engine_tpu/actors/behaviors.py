@@ -237,39 +237,37 @@ def update_actors(cmap, state, fired, fired_pi, delta, camera_pos):
     fired, fired_pi = fire(fired, fired_pi, expired, Output.UNPRESSED)
 
     # ---- laser raycast + uv scroll (Laser.c:LaserUpdate) ----
-    laser = active & (cls == int(ActorClass.LASER)) & (actors.idata[:, 0] != 0)
-    fwd = quat_rotate(actors.quat, jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (n, 3)))
-    triple = cmap.siparams[:, 0] == int(LaserHeight.TRIPLE)
-
+    # only compile-time laser slots cast rays (4-8 lanes, not all N)
     import jax
+    import numpy as np
 
-    def one_ray(origin, direction, static_only, self_idx):
-        return cast_ray(
-            cmap,
-            actors,
-            origin,
-            direction,
-            50.0,  # MAX_DISTANCE (Laser.c:110)
-            exclude_actor=self_idx,
-            require_flags=int(ActorFlags.CAN_BLOCK_LASERS),
-            static_layer_only=False,
-        )
+    laser_rows = np.where(np.asarray(cmap.cls) == int(ActorClass.LASER))[0]
+    if len(laser_rows):
+        l_of = jnp.asarray(laser_rows.astype(np.int32))
+        laser_on = active[l_of] & (actors.idata[l_of, 0] != 0)
+        fwd = quat_rotate(actors.quat[l_of], jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (len(laser_rows), 3)))
 
-    ray_exclude = jnp.where(cls == int(ActorClass.LASER), cmap.siparams[:, 1], jnp.arange(n))
-    hit, frac, _ = jax.vmap(one_ray, in_axes=(0, 0, 0, 0))(
-        actors.pos, fwd, triple, ray_exclude
-    )
-    # NOTE: triple lasers restrict to the STATIC layer (Laser.c:64-71);
-    # static_layer_only is not yet threaded through vmap — they also collide
-    # DYNAMIC here. TODO(round2): per-lane layer filter.
-    beam_len = jnp.where(hit, 50.0 * frac, actors.fdata[:, 0])
-    new_uv = jnp.mod(actors.fdata[:, 1] + delta / 8.0, 1.0)
-    actors = actors.replace(
-        fdata=actors.fdata.at[:, 0]
-        .set(jnp.where(laser, beam_len, actors.fdata[:, 0]))
-        .at[:, 1]
-        .set(jnp.where(laser, new_uv, actors.fdata[:, 1]))
-    )
+        def one_ray(origin, direction, self_idx):
+            return cast_ray(
+                cmap,
+                actors,
+                origin,
+                direction,
+                50.0,  # MAX_DISTANCE (Laser.c:110)
+                exclude_actor=self_idx,
+                require_flags=int(ActorFlags.CAN_BLOCK_LASERS),
+                static_layer_only=False,
+            )
+
+        # NOTE: triple lasers restrict to the STATIC layer (Laser.c:64-71);
+        # they also collide DYNAMIC here. TODO(round2): per-lane layer filter.
+        hit, frac, _ = jax.vmap(one_ray)(actors.pos[l_of], fwd, cmap.siparams[l_of, 1])
+        beam_len = jnp.where(hit, 50.0 * frac, actors.fdata[l_of, 0])
+        new_uv = jnp.mod(actors.fdata[l_of, 1] + delta / 8.0, 1.0)
+        fd = actors.fdata
+        fd = fd.at[l_of, 0].set(jnp.where(laser_on, beam_len, fd[l_of, 0]))
+        fd = fd.at[l_of, 1].set(jnp.where(laser_on, new_uv, fd[l_of, 1]))
+        actors = actors.replace(fdata=fd)
 
     # ---- env interpolators (GlobalLight/Fog/Tonemap Update) ----
     env = state.env

@@ -1,9 +1,15 @@
-"""Per-input signal handlers, vectorized as masked updates.
+"""Signal input handlers, vectorized as masked updates.
 
 Each handler reproduces one RegisterActorInput callback from the reference
-(citations inline). apply_one() consumes a single queued event (scalar
-target + input id under a liveness flag) and applies every handler behind a
-mask — all lanes compute, only the target row changes.
+(citations inline). apply_round() consumes the whole event queue in one
+vectorized pass: events are scattered into per-actor (input, param) lanes,
+then every handler applies behind its mask.
+
+Divergence from the reference's strictly sequential dispatch
+(ActorTriggerInput, Actor.c:52-64): two events hitting the SAME actor with
+the SAME input in the SAME round collapse (last event's param wins), except
+counter add/subtract which accumulate. Distinct targets and distinct inputs
+are exact. Game content never stacks same-input events in one tick.
 """
 
 from __future__ import annotations
@@ -82,25 +88,44 @@ def remove_actors(state, fired, fired_pi, mask):
     return state.replace(actors=actors, player=p), fired, fired_pi
 
 
-def apply_one(cmap, state, fired, fired_pi, live, t, k, ptype, pf, pi):
-    """Apply one event: input `k` on actor `t` with packed param."""
+def apply_round(cmap, state, fired, fired_pi, queue):
+    """Apply every queued event in one vectorized pass."""
     n = cmap.num_actors
     actors = state.actors
-    idx = jnp.arange(n)
-    onehot = (idx == t) & live & actors.active
     cls = cmap.cls
+    q = queue
 
-    def m(input_id, *classes):
-        mm = onehot & (k == int(input_id))
-        if classes:
-            cls_ok = jnp.zeros_like(mm)
-            for c in classes:
-                cls_ok = cls_ok | (cls == int(c))
-            mm = mm & cls_ok
-        return mm
+    live = jnp.arange(q.target.shape[0]) < q.count
+    tgt = jnp.where(live, q.target, n)  # out-of-bounds -> dropped
+
+    # per-(actor, input) received mask; params scatter last-wins
+    def recv(input_id):
+        ev = live & (q.input == int(input_id))
+        t_w = jnp.where(ev, tgt, n)
+        m = jnp.zeros(n, bool).at[t_w].set(True, mode="drop")
+        return m & actors.active
+
+    def recv_param(input_id, want_types=()):
+        ev = live & (q.input == int(input_id))
+        if want_types:
+            tok = jnp.zeros_like(ev)
+            for wt in want_types:
+                tok = tok | (q.ptype == int(wt))
+            ev = ev & tok
+        t_w = jnp.where(ev, tgt, n)
+        m = jnp.zeros(n, bool).at[t_w].set(True, mode="drop")
+        pf = jnp.zeros((n, 4)).at[t_w].set(q.pf, mode="drop")
+        pi = jnp.zeros(n, jnp.int32).at[t_w].set(q.pi, mode="drop")
+        return m & actors.active, pf, pi
+
+    def m_cls(mask, *classes):
+        ok = jnp.zeros_like(mask)
+        for c in classes:
+            ok = ok | (cls == int(c))
+        return mask & ok
 
     # ---- kill (ActorDefinition.c:73-77; unregistered on io_proxy) ----
-    kill_m = m(Input.KILL) & (cls != int(ActorClass.IO_PROXY))
+    kill_m = recv(Input.KILL) & (cls != int(ActorClass.IO_PROXY))
     state, fired, fired_pi = remove_actors(state, fired, fired_pi, kill_m)
     actors = state.actors
 
@@ -108,10 +133,10 @@ def apply_one(cmap, state, fired, fired_pi, live, t, k, ptype, pf, pi):
     dstate = actors.idata[:, 0]
     anim = actors.fdata[:, 0]
     width = cmap.sfparams[:, 0]
-    open_m = m(Input.OPEN, ActorClass.DOOR)
+    open_m = m_cls(recv(Input.OPEN), ActorClass.DOOR)
+    close_m = m_cls(recv(Input.CLOSE), ActorClass.DOOR)
     go_opening = open_m & (dstate == int(DoorState.CLOSED))
     go_opening_rev = open_m & (dstate == int(DoorState.CLOSING))
-    close_m = m(Input.CLOSE, ActorClass.DOOR)
     go_closing = close_m & (dstate == int(DoorState.OPEN))
     go_closing_rev = close_m & (dstate == int(DoorState.OPENING))
     door_mask = go_opening | go_opening_rev | go_closing | go_closing_rev
@@ -123,21 +148,19 @@ def apply_one(cmap, state, fired, fired_pi, live, t, k, ptype, pf, pi):
         cmap, actors, fired, fired_pi, door_mask, new_state, new_anim
     )
 
-    # ---- laser turn_on/turn_off (Laser.c:163-177) ----
-    laser_on = m(Input.TURN_ON, ActorClass.LASER)
-    laser_off = m(Input.TURN_OFF, ActorClass.LASER)
-    # emitter forwards to its pre-spawned laser slot + swaps skin
-    # (LaserEmitter.c:152-166)
-    em_on = m(Input.TURN_ON, ActorClass.LASER_EMITTER)
-    em_off = m(Input.TURN_OFF, ActorClass.LASER_EMITTER)
-    child = cmap.siparams[:, 2]  # laser slot per emitter
-    # em_on/em_off have at most one bit set (single event)
-    em_on_slot = jnp.where(jnp.any(em_on), child[jnp.argmax(em_on)], -1)
-    em_off_slot = jnp.where(jnp.any(em_off), child[jnp.argmax(em_off)], -1)
-    child_on_mask = idx == em_on_slot
-    child_off_mask = idx == em_off_slot
-    turn_on = laser_on | (child_on_mask & (cls == int(ActorClass.LASER)))
-    turn_off = laser_off | (child_off_mask & (cls == int(ActorClass.LASER)))
+    # ---- laser / emitter turn_on & turn_off (Laser.c:163-177,
+    # LaserEmitter.c:152-166) ----
+    on_m = recv(Input.TURN_ON)
+    off_m = recv(Input.TURN_OFF)
+    laser_on = m_cls(on_m, ActorClass.LASER)
+    laser_off = m_cls(off_m, ActorClass.LASER)
+    em_on = m_cls(on_m, ActorClass.LASER_EMITTER)
+    em_off = m_cls(off_m, ActorClass.LASER_EMITTER)
+    child = jnp.clip(cmap.siparams[:, 2], 0, n)  # emitter -> laser slot
+    child_on = jnp.zeros(n, bool).at[jnp.where(em_on, child, n)].set(True, mode="drop")
+    child_off = jnp.zeros(n, bool).at[jnp.where(em_off, child, n)].set(True, mode="drop")
+    turn_on = laser_on | (child_on & (cls == int(ActorClass.LASER)))
+    turn_off = laser_off | (child_off & (cls == int(ActorClass.LASER)))
     actors = actors.replace(
         idata=actors.idata.at[:, 0].set(
             jnp.where(turn_on, 1, jnp.where(turn_off, 0, actors.idata[:, 0]))
@@ -152,14 +175,12 @@ def apply_one(cmap, state, fired, fired_pi, live, t, k, ptype, pf, pi):
     env = state.env
     tick = state.tick
     interp_ticks = cmap.siparams[:, 0]
+    set_all = recv(Input.SET)
+    seti_all = recv(Input.SET_INSTANT)
 
-    for klass, chan in (
-        (ActorClass.GLOBAL_LIGHT, "light"),
-        (ActorClass.GLOBAL_FOG, "fog"),
-        (ActorClass.TONEMAP_CONTROLLER, "tonemap"),
-    ):
-        set_m = m(Input.SET, klass)
-        set_i = m(Input.SET_INSTANT, klass)
+    for klass in (ActorClass.GLOBAL_LIGHT, ActorClass.GLOBAL_FOG, ActorClass.TONEMAP_CONTROLLER):
+        set_m = m_cls(set_all, klass)
+        set_i = m_cls(seti_all, klass)
         any_set = jnp.any(set_m)
         any_set_i = jnp.any(set_i)
         t_row = jnp.argmax(set_m | set_i)
@@ -200,51 +221,50 @@ def apply_one(cmap, state, fired, fired_pi, live, t, k, ptype, pf, pi):
                 tonemap_interp_prev=jnp.where(start_interp, env.exposure, env.tonemap_interp_prev),
             )
 
-    # ---- trigger enable/disable/force (Trigger.c:53-67) + goal (Goal.c) ----
-    en = m(Input.ENABLE, ActorClass.TRIGGER, ActorClass.GOAL)
-    dis = m(Input.DISABLE, ActorClass.TRIGGER, ActorClass.GOAL)
+    # ---- trigger/goal enable/disable + force (Trigger.c:53-67, Goal.c) ----
+    en = m_cls(recv(Input.ENABLE), ActorClass.TRIGGER, ActorClass.GOAL)
+    dis = m_cls(recv(Input.DISABLE), ActorClass.TRIGGER, ActorClass.GOAL)
     actors = actors.replace(
         idata=actors.idata.at[:, 0].set(
             jnp.where(en, 1, jnp.where(dis, 0, actors.idata[:, 0]))
         )
     )
-    force = m(Input.FORCE_TRIGGER, ActorClass.TRIGGER)
+    force = m_cls(recv(Input.FORCE_TRIGGER), ActorClass.TRIGGER)
     fired, fired_pi = fire(fired, fired_pi, force, Output.TRIGGERED)
 
     # ---- camera enable/disable (Camera.c:23-77) ----
-    cam_en = m(Input.ENABLE, ActorClass.CAMERA)
-    cam_dis = m(Input.DISABLE, ActorClass.CAMERA)
+    cam_en = m_cls(recv(Input.ENABLE), ActorClass.CAMERA)
+    cam_dis = m_cls(recv(Input.DISABLE), ActorClass.CAMERA)
     cam = state.camera_actor
-    cam = jnp.where(jnp.any(cam_en), t, cam)
-    cam = jnp.where(jnp.any(cam_dis) & (cam == t), -1, cam)
+    cam = jnp.where(jnp.any(cam_en), jnp.argmax(cam_en), cam)
+    cam = jnp.where(jnp.any(cam_dis) & cam_dis[jnp.clip(cam, 0, n - 1)] & (cam >= 0), -1, cam)
     state = state.replace(camera_actor=cam.astype(jnp.int32))
 
     # ---- logic binary / decimal operands + execute ----
-    opa_b = m(Input.OPERAND_A, ActorClass.LOGIC_BINARY) & (ptype == int(ParamType.BOOL))
-    opb_b = m(Input.OPERAND_B, ActorClass.LOGIC_BINARY) & (ptype == int(ParamType.BOOL))
+    opa_m, opa_pf, opa_pi = recv_param(Input.OPERAND_A, (ParamType.BOOL, ParamType.FLOAT))
+    opb_m, opb_pf, opb_pi = recv_param(Input.OPERAND_B, (ParamType.BOOL, ParamType.FLOAT))
+    is_lb = cls == int(ActorClass.LOGIC_BINARY)
+    is_ld = cls == int(ActorClass.LOGIC_DECIMAL)
     actors = actors.replace(
         idata=actors.idata.at[:, 0]
-        .set(jnp.where(opa_b, pi, actors.idata[:, 0]))
+        .set(jnp.where(opa_m & is_lb, opa_pi, actors.idata[:, 0]))
         .at[:, 1]
-        .set(jnp.where(opb_b, pi, actors.idata[:, 1]))
-    )
-    opa_d = m(Input.OPERAND_A, ActorClass.LOGIC_DECIMAL) & (ptype == int(ParamType.FLOAT))
-    opb_d = m(Input.OPERAND_B, ActorClass.LOGIC_DECIMAL) & (ptype == int(ParamType.FLOAT))
-    actors = actors.replace(
+        .set(jnp.where(opb_m & is_lb, opb_pi, actors.idata[:, 1])),
         fdata=actors.fdata.at[:, 0]
-        .set(jnp.where(opa_d, pf[0], actors.fdata[:, 0]))
+        .set(jnp.where(opa_m & is_ld, opa_pf[:, 0], actors.fdata[:, 0]))
         .at[:, 1]
-        .set(jnp.where(opb_d, pf[0], actors.fdata[:, 1]))
+        .set(jnp.where(opb_m & is_ld, opb_pf[:, 0], actors.fdata[:, 1])),
     )
 
-    exe_b = m(Input.EXECUTE, ActorClass.LOGIC_BINARY)
+    exe_all = recv(Input.EXECUTE)
+    exe_b = exe_all & is_lb
+    exe_d = exe_all & is_ld
     a_v = actors.idata[:, 0] != 0
     b_v = actors.idata[:, 1] != 0
     op = cmap.siparams[:, 0]
     res_b = jnp.where(
         op == int(LogicOp.AND), a_v & b_v, jnp.where(op == int(LogicOp.OR), a_v | b_v, ~a_v)
     )
-    exe_d = m(Input.EXECUTE, ActorClass.LOGIC_DECIMAL)
     fa, fb = actors.fdata[:, 0], actors.fdata[:, 1]
     res_d = jnp.select(
         [
@@ -265,21 +285,24 @@ def apply_one(cmap, state, fired, fired_pi, live, t, k, ptype, pf, pi):
         fired, fired_pi, exe, Output.EXECUTION_RESULT, pi=res.astype(jnp.int32)
     )
 
-    # ---- logic counter (LogicCounter.c:36-121) ----
-    add_m = m(Input.ADD, ActorClass.LOGIC_COUNTER) & (ptype == int(ParamType.INTEGER))
-    sub_m = m(Input.SUBTRACT, ActorClass.LOGIC_COUNTER) & (ptype == int(ParamType.INTEGER))
-    inc_m = m(Input.INCREMENT, ActorClass.LOGIC_COUNTER)
-    # NOTE: the reference's decrement handler adds +1 (LogicCounter.c
-    # LogicCounterDecrementHandler calls ChangeValue(1,...), an apparent
-    # upstream bug); we implement the documented behavior (-1).
-    dec_m = m(Input.DECREMENT, ActorClass.LOGIC_COUNTER)
-    change = (
-        jnp.where(add_m, pi, 0)
-        + jnp.where(sub_m, -pi, 0)
-        + jnp.where(inc_m, 1, 0)
-        + jnp.where(dec_m, -1, 0)
+    # ---- logic counter (LogicCounter.c:36-121; add/subtract accumulate) ----
+    is_cnt = cls == int(ActorClass.LOGIC_COUNTER)
+    ev_add = live & (q.input == int(Input.ADD)) & (q.ptype == int(ParamType.INTEGER))
+    ev_sub = live & (q.input == int(Input.SUBTRACT)) & (q.ptype == int(ParamType.INTEGER))
+    ev_inc = live & (q.input == int(Input.INCREMENT))
+    ev_dec = live & (q.input == int(Input.DECREMENT))
+    # NOTE: the reference's decrement handler adds +1 (an upstream bug in
+    # LogicCounter.c); we implement the documented -1.
+    delta_ev = (
+        jnp.where(ev_add, q.pi, 0)
+        - jnp.where(ev_sub, q.pi, 0)
+        + jnp.where(ev_inc, 1, 0)
+        - jnp.where(ev_dec, 1, 0)
     )
-    counter_m = add_m | sub_m | inc_m | dec_m
+    ev_any = ev_add | ev_sub | ev_inc | ev_dec
+    change = jnp.zeros(n, jnp.int32).at[jnp.where(ev_any, tgt, n)].add(delta_ev, mode="drop")
+    touched = jnp.zeros(n, bool).at[jnp.where(ev_any, tgt, n)].set(True, mode="drop")
+    counter_m = touched & is_cnt & actors.active
     prev = actors.idata[:, 0]
     cmin, cmax = cmap.siparams[:, 0], cmap.siparams[:, 1]
     clamp_min, clamp_max = cmap.siparams[:, 2] != 0, cmap.siparams[:, 3] != 0
@@ -301,30 +324,27 @@ def apply_one(cmap, state, fired, fired_pi, live, t, k, ptype, pf, pi):
     fired, fired_pi = fire(fired, fired_pi, changed, Output.COUNTER_CHANGED, pi=newv)
 
     # ---- physics model set_color/set_skin (PhysicsModel.c:86-113) ----
-    setc = m(Input.SET_COLOR, ActorClass.PHYSICS_MODEL) & (ptype == int(ParamType.COLOR))
-    actors = actors.replace(
-        mod_color=jnp.where(setc[:, None], pf, actors.mod_color)
+    setc_m, setc_pf, _ = recv_param(Input.SET_COLOR, (ParamType.COLOR,))
+    setc = setc_m & (cls == int(ActorClass.PHYSICS_MODEL))
+    actors = actors.replace(mod_color=jnp.where(setc[:, None], setc_pf, actors.mod_color))
+    sets_m, _, sets_pi = recv_param(
+        Input.SET_SKIN, (ParamType.BYTE, ParamType.INTEGER, ParamType.UINT_64)
     )
-    sets = m(Input.SET_SKIN, ActorClass.PHYSICS_MODEL) & (
-        (ptype == int(ParamType.BYTE))
-        | (ptype == int(ParamType.INTEGER))
-        | (ptype == int(ParamType.UINT_64))
-    )
-    actors = actors.replace(skin=jnp.where(sets, pi, actors.skin))
+    sets = sets_m & (cls == int(ActorClass.PHYSICS_MODEL))
+    actors = actors.replace(skin=jnp.where(sets, sets_pi, actors.skin))
 
-    # ---- sound player (SoundPlayer.c:50-121; audio is host-side, we track
-    # the play state + counters) ----
-    play = m(Input.PLAY, ActorClass.SOUND_PLAYER)
-    stop = m(Input.STOP, ActorClass.SOUND_PLAYER) | m(Input.PAUSE, ActorClass.SOUND_PLAYER)
-    resume = m(Input.RESUME, ActorClass.SOUND_PLAYER)
+    # ---- sound player (SoundPlayer.c:50-121) ----
+    play = m_cls(recv(Input.PLAY), ActorClass.SOUND_PLAYER)
+    stop = m_cls(recv(Input.STOP), ActorClass.SOUND_PLAYER) | m_cls(
+        recv(Input.PAUSE), ActorClass.SOUND_PLAYER
+    )
+    resume = m_cls(recv(Input.RESUME), ActorClass.SOUND_PLAYER)
     actors = actors.replace(
         idata=actors.idata.at[:, 0].set(
             jnp.where(play | resume, 1, jnp.where(stop, 0, actors.idata[:, 0]))
         )
     )
-    state = state.replace(
-        sound_plays=state.sound_plays + jnp.sum(play.astype(jnp.int32))
-    )
+    state = state.replace(sound_plays=state.sound_plays + jnp.sum(play.astype(jnp.int32)))
 
     state = state.replace(actors=actors, env=env)
     return state, fired, fired_pi

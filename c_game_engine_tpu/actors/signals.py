@@ -70,14 +70,15 @@ def expand_outputs(cmap, fired, fired_pi, prev_queue: EventQueue) -> EventQueue:
         default_pi[:, None].astype(jnp.float32) * (jnp.arange(4) == 0),
     )
 
-    # compact triggered edges into queue slots after the existing events
+    # compact triggered edges into queue slots after the existing events;
+    # non-triggered lanes write out-of-bounds and are dropped
     base = prev_queue.count
     slot = jnp.cumsum(triggered.astype(jnp.int32)) - 1 + base
     ok = triggered & (slot < EVENT_CAPACITY)
-    slot_c = jnp.clip(slot, 0, EVENT_CAPACITY - 1)
+    slot_w = jnp.where(ok, slot, EVENT_CAPACITY)
 
     def scatter(buf, vals):
-        return buf.at[slot_c].set(jnp.where(ok if buf.ndim == 1 else ok[:, None], vals, buf[slot_c]))
+        return buf.at[slot_w].set(vals, mode="drop")
 
     target = scatter(prev_queue.target, cmap.edge_dst)
     inp = scatter(prev_queue.input, cmap.edge_in)
@@ -98,27 +99,14 @@ def expand_outputs(cmap, fired, fired_pi, prev_queue: EventQueue) -> EventQueue:
 
 
 def apply_events(cmap, state, fired, fired_pi):
-    """Consume the event queue sequentially (lax.scan over slots), applying
-    each input handler; newly fired outputs accumulate into fired/fired_pi.
-    Returns (state, fired, fired_pi) with an emptied queue."""
+    """Consume the event queue in one vectorized pass (see
+    handlers.apply_round); newly fired outputs accumulate into
+    fired/fired_pi. Returns (state, fired, fired_pi) with an emptied
+    queue."""
     from c_game_engine_tpu.actors import handlers  # circular-safe local import
 
     q = state.events
-    n_events = q.count
-
-    def body(carry, i):
-        st, fd, fpi = carry
-        live = i < n_events
-        t = q.target[i]
-        k = q.input[i]
-        st, fd, fpi = handlers.apply_one(
-            cmap, st, fd, fpi, live, t, k, q.ptype[i], q.pf[i], q.pi[i]
-        )
-        return (st, fd, fpi), None
-
-    (state, fired, fired_pi), _ = jax.lax.scan(
-        body, (state, fired, fired_pi), jnp.arange(EVENT_CAPACITY)
-    )
+    state, fired, fired_pi = handlers.apply_round(cmap, state, fired, fired_pi, q)
     from c_game_engine_tpu.core.state import empty_events
 
     state = state.replace(events=empty_events().replace(dropped=q.dropped))

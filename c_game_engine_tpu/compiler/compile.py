@@ -251,6 +251,10 @@ def compile_map(
     tri_valid = np.zeros(t, bool)
     tri_valid[:t_real] = (ln[:t_real, 0] > 1e-12)
 
+    from c_game_engine_tpu.compiler.broadphase import build_grid
+
+    grid = build_grid(tris_p, tri_valid)
+
     # --------------------------------------------------------------- inertia
     mass = np.array([r.mass for r in rows] + [0.0] * (n - n_real), np.float32)
     motion = np.array([r.motion for r in rows] + [0] * (n - n_real), np.int32)
@@ -258,6 +262,13 @@ def compile_map(
     for i, r in enumerate(rows):
         halfext[i] = r.halfext
     dynamic = motion == int(Motion.DYNAMIC)
+    dyn_list = np.where(dynamic)[0].astype(np.int32)
+    d_pad = max(((len(dyn_list) + 3) // 4) * 4, 4)
+    dyn_slots = np.full(d_pad, -1, np.int32)
+    dyn_slots[: len(dyn_list)] = dyn_list
+    actor_to_dyn = np.full(n, -1, np.int32)
+    for di, ai in enumerate(dyn_list):
+        actor_to_dyn[ai] = di
     inv_mass = np.where(dynamic & (mass > 0), 1.0 / np.maximum(mass, 1e-9), 0.0).astype(np.float32)
     hx, hy, hz = halfext[:, 0], halfext[:, 1], halfext[:, 2]
     ibody = (mass[:, None] / 3.0) * np.stack(
@@ -310,12 +321,18 @@ def compile_map(
         "num_real_edges": e_real,
         "sky_texture": gmap.sky_texture,
         "resolver": resolver,
+        "grid_shape": grid["shape"],
     }
 
     return CompiledMap(
         tris=jnp.asarray(tris_p),
         tri_normal=jnp.asarray(nrm.astype(np.float32)),
         tri_valid=jnp.asarray(tri_valid),
+        grid_lo=jnp.asarray(grid["lo"]),
+        grid_inv_cell=jnp.asarray(grid["inv_cell"]),
+        grid_cells=jnp.asarray(grid["cells"]),
+        dyn_slots=jnp.asarray(dyn_slots),
+        actor_to_dyn=jnp.asarray(actor_to_dyn),
         cls=stack(lambda r: r.cls, (), np.int32),
         init_active=stack(lambda r: r.active, (), bool, pad=False),
         init_pos=stack(lambda r: r.pos, (3,), np.float32),

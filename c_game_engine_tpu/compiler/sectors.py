@@ -446,36 +446,56 @@ def compile_map_source(path_or_dict, name: str = "mapsource") -> GMap:
 
 def bake_lightmap(surfaces, atlas_size, point_lights, occluder_tris):
     """Direct-lighting bake: per-luxel lambert * distance falloff with
-    shadow rays against the collision soup.
+    shadow rays against the collision soup. The inner loop is a jitted JAX
+    kernel (runs on the accelerator when one is attached).
 
     Light model (reference baker is external; model inferred from
     Light.h:12-24 semantics, calibration vs shapes.gmap is a TODO):
         atten = clamp(1 - d / range, 0, 1) ** attenuation
         L += color * brightness * max(dot(n, l), 0) * atten
     """
+    import jax
+    import jax.numpy as jnp
+
     aw, ah = atlas_size
     out = np.zeros((ah, aw, 4), np.float32)
     out[..., 3] = 1.0
 
-    tri_a = occluder_tris[:, 0]
-    tri_e1 = occluder_tris[:, 1] - tri_a
-    tri_e2 = occluder_tris[:, 2] - tri_a
+    tri_a = jnp.asarray(occluder_tris[:, 0])
+    tri_e1 = jnp.asarray(occluder_tris[:, 1] - occluder_tris[:, 0])
+    tri_e2 = jnp.asarray(occluder_tris[:, 2] - occluder_tris[:, 0])
+    lights = jnp.asarray(point_lights)  # [L, 9]
 
-    def visible(p0, p1):
-        """Shadow ray p0->p1 vs all tris (vectorized over luxel batch)."""
-        d = p1 - p0[None] if p0.ndim == 1 else p1 - p0
-        # p0: [B,3], d: [B,3]; tris: [T,...]
-        h = np.cross(d[:, None, :], tri_e2[None])
-        det = np.einsum("tj,btj->bt", tri_e1, h)
-        ok = np.abs(det) > 1e-9
-        inv = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
-        s = p0[:, None, :] - tri_a[None]
-        u = np.einsum("btj,btj->bt", s, h) * inv
-        q = np.cross(s, tri_e1[None])
-        v = np.einsum("bj,btj->bt", d, q) * inv
-        t = np.einsum("tj,btj->bt", tri_e2, q) * inv
-        hit = ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 1e-4) & (t < 1.0 - 1e-4)
-        return ~hit.any(axis=1)
+    @jax.jit
+    def shade_points(pts, normal):
+        """pts [B,3], normal [3] -> radiance [B,3]."""
+
+        def per_light(L):
+            lp, lc = L[:3], L[3:6]
+            brightness, rng, att = L[6], L[7], L[8]
+            delta = lp[None] - pts
+            dist = jnp.linalg.norm(delta, axis=-1)
+            ldir = delta / jnp.maximum(dist, 1e-9)[:, None]
+            lam = jnp.maximum(ldir @ normal, 0.0)
+            atten = jnp.clip(1.0 - dist / jnp.maximum(rng, 1e-6), 0.0, 1.0) ** jnp.maximum(att, 1e-6)
+            # shadow ray pts -> lp (Moller-Trumbore vs all occluders)
+            d = delta  # [B,3]
+            h = jnp.cross(d[:, None, :], tri_e2[None])
+            det = jnp.einsum("tj,btj->bt", tri_e1, h)
+            ok = jnp.abs(det) > 1e-9
+            inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+            s = pts[:, None, :] - tri_a[None]
+            u = jnp.einsum("btj,btj->bt", s, h) * inv
+            qv = jnp.cross(s, tri_e1[None])
+            v = jnp.einsum("bj,btj->bt", d, qv) * inv
+            t = jnp.einsum("tj,btj->bt", tri_e2, qv) * inv
+            hit = ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 1e-4) & (t < 1.0 - 1e-4)
+            visible = ~jnp.any(hit, axis=1)
+            w = jnp.where((lam > 0) & (atten > 0) & visible, brightness * lam * atten, 0.0)
+            return lc[None] * w[:, None]
+
+        acc = jax.lax.map(per_light, lights)  # [L, B, 3]
+        return jnp.sum(acc, axis=0)
 
     for sf in surfaces:
         w, h = sf.lm_size_luxels
@@ -489,33 +509,20 @@ def bake_lightmap(surfaces, atlas_size, point_lights, occluder_tris):
             (gu[..., None] + sf.lm_org[0]) * sf.lm_axes[0]
             + (gv[..., None] + sf.lm_org[1]) * sf.lm_axes[1]
         )
-        # the chart axes are orthonormal but don't span 3D; reconstruct the
-        # missing coordinate from the surface plane: use any vertex
+        # the chart axes don't span 3D; reconstruct the missing coordinate
+        # from the surface plane via any vertex
         ref = sf.verts[0, :3]
         missing = ref - (ref @ sf.lm_axes[0]) * sf.lm_axes[0] - (ref @ sf.lm_axes[1]) * sf.lm_axes[1]
-        world = world + missing
-        world = world + sf.normal * 1e-2
-        pts = world.reshape(-1, 3)
+        world = world + missing + sf.normal * 1e-2
+        pts = world.reshape(-1, 3).astype(np.float32)
+        # pad to a fixed chunk size so the jit caches one shape
+        CH = 8192
         acc = np.zeros((pts.shape[0], 3), np.float32)
-        for L in point_lights:
-            lp, lc = L[:3], L[3:6]
-            brightness, rng, att = L[6], L[7], L[8]
-            delta = lp[None] - pts
-            dist = np.linalg.norm(delta, axis=-1)
-            ldir = delta / np.maximum(dist, 1e-9)[:, None]
-            lam = np.maximum(ldir @ sf.normal, 0.0)
-            atten = np.clip(1.0 - dist / max(rng, 1e-6), 0.0, 1.0) ** max(att, 1e-6)
-            mask = (lam > 0) & (atten > 0)
-            if not mask.any():
-                continue
-            vis_mask = np.zeros(pts.shape[0], bool)
-            idxs = np.where(mask)[0]
-            for chunk in np.array_split(idxs, max(1, len(idxs) // 4096)):
-                vis_mask[chunk] = visible(pts[chunk], np.broadcast_to(lp, (len(chunk), 3)))
-            acc += np.where(
-                (mask & vis_mask)[:, None],
-                lc[None] * (brightness * lam * atten)[:, None],
-                0.0,
-            )
+        for s0 in range(0, pts.shape[0], CH):
+            chunk = pts[s0 : s0 + CH]
+            padded = np.zeros((CH, 3), np.float32)
+            padded[: len(chunk)] = chunk
+            res = np.asarray(shade_points(jnp.asarray(padded), jnp.asarray(sf.normal)))
+            acc[s0 : s0 + CH] = res[: len(chunk)]
         out[y0 : y0 + h, x0 : x0 + w, :3] = acc.reshape(h, w, 3)
     return out

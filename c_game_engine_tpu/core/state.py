@@ -35,6 +35,13 @@ class CompiledMap:
     tris: jnp.ndarray  # [T, 3, 3] world-space triangles (padded; pad = degenerate far below)
     tri_normal: jnp.ndarray  # [T, 3] unit normals (ccw winding)
     tri_valid: jnp.ndarray  # [T] bool
+    # uniform XZ broadphase grid (compiler/broadphase.py)
+    grid_lo: jnp.ndarray  # [2]
+    grid_inv_cell: jnp.ndarray  # []
+    grid_cells: jnp.ndarray  # [GX*GZ, L] i32 tri indices (-1 pad)
+    # compact index of dynamic actors (Motion.DYNAMIC), -1 padded
+    dyn_slots: jnp.ndarray  # [D] i32
+    actor_to_dyn: jnp.ndarray  # [N] i32 inverse map (-1 = not dynamic)
 
     # --- actor init tables ---
     cls: jnp.ndarray  # [N] i32 ActorClass

@@ -159,7 +159,9 @@ def step(cmap, state: EnvState, actions: Actions) -> EnvState:
     effective = bmask & (~b_pressed | toggle)
     new_pressed = jnp.where(effective, ~b_pressed, b_pressed)
     actors = actors.replace(
-        idata=actors.idata.at[:, 0].set(new_pressed.astype(jnp.int32)),
+        idata=actors.idata.at[:, 0].set(
+            jnp.where(effective, new_pressed.astype(jnp.int32), actors.idata[:, 0])
+        ),
         skin=jnp.where(
             effective,
             jnp.where(new_pressed, cmap.siparams[:, 1], cmap.siparams[:, 0]),

@@ -42,8 +42,14 @@ def _collect_contacts(cmap, actors, pos, exclude_actor):
     contact set (one lane per triangle + one per actor)."""
     s0, s1 = _capsule_segment(pos)
 
-    # --- static triangles ---
-    a, b, c = cmap.tris[:, 0], cmap.tris[:, 1], cmap.tris[:, 2]
+    # --- static triangles (grid-pruned candidate set) ---
+    from c_game_engine_tpu.physics.grid import query_cell
+
+    cand = query_cell(cmap, pos)  # [L]
+    candc = jnp.clip(cand, 0, None)
+    tri3 = cmap.tris[candc]
+    a, b, c = tri3[:, 0], tri3[:, 1], tri3[:, 2]
+    cand_ok = (cand >= 0) & cmap.tri_valid[candc]
     p_seg, q_tri = capsule_triangle_closest(
         jnp.broadcast_to(s0, a.shape), jnp.broadcast_to(s1, a.shape), a, b, c
     )
@@ -54,7 +60,7 @@ def _collect_contacts(cmap, actors, pos, exclude_actor):
     # in deep penetration the closest segment point crosses the plane and
     # raw delta points *into* the triangle (classic closest-point failure),
     # which would eject the capsule sideways/downwards.
-    face_n = cmap.tri_normal
+    face_n = cmap.tri_normal[candc]
     side = jnp.sign(jnp.sum((pos - a) * face_n, -1))
     side = jnp.where(side == 0, 1.0, side)
     flip = jnp.sign(jnp.sum(raw_n * face_n, -1)) * side
@@ -64,7 +70,7 @@ def _collect_contacts(cmap, actors, pos, exclude_actor):
     # penetration measured along the oriented normal (signed; covers the
     # crossed-plane case where dist alone underestimates)
     signed = jnp.sum(delta * tri_normal, -1)
-    tri_depth = jnp.where(cmap.tri_valid, CAPSULE_RADIUS - signed, -jnp.inf)
+    tri_depth = jnp.where(cand_ok, CAPSULE_RADIUS - signed, -jnp.inf)
 
     # --- solid actor boxes (doors, props, dynamic bodies) ---
     solid = (

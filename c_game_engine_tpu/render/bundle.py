@@ -1,0 +1,161 @@
+"""RenderBundle: per-map device arrays for the software rasterizer.
+
+Collects what VK_LoadMap uploads to the GPU (Vulkan.c:1045-1078): map
+geometry, actor model registry (LOD0), wall quad parameters, sky mesh, the
+texture atlas and the lightmap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from c_game_engine_tpu.assets.codecs import ModelShader
+from c_game_engine_tpu.render.textures import TextureAtlas, build_atlas
+
+MAX_SKINS = 8
+MAX_SLOTS = 8
+
+
+@struct.dataclass
+class RenderBundle:
+    atlas: TextureAtlas
+    lightmap: jnp.ndarray  # [LH, LW, 4]
+
+    # static map geometry as a triangle soup
+    map_pos: jnp.ndarray  # [Tm, 3, 3]
+    map_uv: jnp.ndarray  # [Tm, 3, 2]
+    map_lmuv: jnp.ndarray  # [Tm, 3, 2]
+    map_tex: jnp.ndarray  # [Tm] i32
+    map_shaded: jnp.ndarray  # [Tm] bool
+
+    # model triangle pool (all models referenced by the map, LOD0)
+    mdl_pos: jnp.ndarray  # [Tp, 3, 3] local space
+    mdl_uv: jnp.ndarray  # [Tp, 3, 2]
+    mdl_color: jnp.ndarray  # [Tp, 3, 4] vertex color
+    mdl_slot: jnp.ndarray  # [Tp] i32 material slot
+    mdl_range: jnp.ndarray  # [M, 2] i32 (start, count) per model id
+    mdl_skin_tex: jnp.ndarray  # [M, MAX_SKINS, MAX_SLOTS] i32 texture id
+    mdl_skin_color: jnp.ndarray  # [M, MAX_SKINS, MAX_SLOTS, 4] material color
+    mdl_skin_shaded: jnp.ndarray  # [M, MAX_SKINS, MAX_SLOTS] bool
+
+    # sky
+    sky_pos: jnp.ndarray  # [Ts, 3, 3]
+    sky_uv: jnp.ndarray  # [Ts, 3, 2]
+    sky_tex: jnp.ndarray  # [] i32 (-1 = no sky)
+
+    @property
+    def num_map_tris(self):
+        return self.map_pos.shape[0]
+
+
+def build_render_bundle(cmap) -> RenderBundle:
+    aux = cmap.aux
+    resolver = aux["resolver"]
+    tex_names = list(aux["texture_names"])
+    tex_index = {n: i for i, n in enumerate(tex_names)}
+
+    def intern(name):
+        if name not in tex_index:
+            tex_index[name] = len(tex_names)
+            tex_names.append(name)
+        return tex_index[name]
+
+    # ---------------- map geometry ----------------
+    mv = np.asarray(cmap.map_verts)
+    mi = np.asarray(cmap.map_indices).reshape(-1, 3)
+    vt = np.asarray(cmap.map_vert_tex)
+    vs = np.asarray(cmap.map_vert_shaded)
+    map_pos = mv[mi][:, :, 0:3] if len(mi) else np.zeros((0, 3, 3), np.float32)
+    map_uv = mv[mi][:, :, 3:5] if len(mi) else np.zeros((0, 3, 2), np.float32)
+    map_lmuv = mv[mi][:, :, 5:7] if len(mi) else np.zeros((0, 3, 2), np.float32)
+    map_tex = vt[mi[:, 0]] if len(mi) else np.zeros(0, np.int32)
+    map_shaded = vs[mi[:, 0]] if len(mi) else np.zeros(0, bool)
+
+    # ---------------- models ----------------
+    model_names = aux["model_names"]
+    pool_pos, pool_uv, pool_color, pool_slot = [], [], [], []
+    ranges = np.zeros((max(len(model_names), 1), 2), np.int32)
+    skin_tex = np.full((max(len(model_names), 1), MAX_SKINS, MAX_SLOTS), -1, np.int32)
+    skin_color = np.ones((max(len(model_names), 1), MAX_SKINS, MAX_SLOTS, 4), np.float32)
+    skin_shaded = np.zeros((max(len(model_names), 1), MAX_SKINS, MAX_SLOTS), bool)
+    off = 0
+    for m_id, name in enumerate(model_names):
+        info = resolver.model(name)
+        lod = info.model.lods[0]
+        verts = lod.vertices  # [V, 12]
+        count = 0
+        for slot, idx in enumerate(lod.indices):
+            if len(idx) == 0:
+                continue
+            tri = idx.reshape(-1, 3).astype(np.int64)
+            pool_pos.append(verts[tri][:, :, 0:3])
+            pool_uv.append(verts[tri][:, :, 3:5])
+            pool_color.append(verts[tri][:, :, 5:9])
+            pool_slot.append(np.full(len(tri), slot, np.int32))
+            count += len(tri)
+        ranges[m_id] = (off, count)
+        off += count
+        skins = info.model.skins
+        for s in range(min(len(skins), MAX_SKINS)):
+            for slot in range(min(skins.shape[1], MAX_SLOTS)):
+                mat = info.model.materials[int(skins[s, slot])]
+                skin_tex[m_id, s, slot] = intern(mat["texture"])
+                skin_color[m_id, s, slot] = mat["color"]
+                skin_shaded[m_id, s, slot] = int(mat["shader"]) == int(ModelShader.SHADED)
+        # out-of-range skins fall back to skin 0 (PhysicsModel.c bounds check)
+        for s in range(len(skins), MAX_SKINS):
+            skin_tex[m_id, s] = skin_tex[m_id, 0]
+            skin_color[m_id, s] = skin_color[m_id, 0]
+            skin_shaded[m_id, s] = skin_shaded[m_id, 0]
+
+    if pool_pos:
+        mdl_pos = np.concatenate(pool_pos, 0).astype(np.float32)
+        mdl_uv = np.concatenate(pool_uv, 0).astype(np.float32)
+        mdl_color = np.concatenate(pool_color, 0).astype(np.float32)
+        mdl_slot = np.concatenate(pool_slot, 0)
+    else:
+        mdl_pos = np.zeros((0, 3, 3), np.float32)
+        mdl_uv = np.zeros((0, 3, 2), np.float32)
+        mdl_color = np.zeros((0, 3, 4), np.float32)
+        mdl_slot = np.zeros(0, np.int32)
+
+    # ---------------- sky ----------------
+    sky_tex_id = -1
+    sky_pos = np.zeros((0, 3, 3), np.float32)
+    sky_uv = np.zeros((0, 3, 2), np.float32)
+    if aux.get("sky_texture"):
+        sky_tex_id = intern(aux["sky_texture"])
+        sky_info = resolver.model("model/sky.gmdl")
+        lod = sky_info.model.lods[0]
+        verts = lod.vertices
+        for idx in lod.indices:
+            if len(idx):
+                tri = idx.reshape(-1, 3).astype(np.int64)
+                sky_pos = verts[tri][:, :, 0:3].astype(np.float32)
+                sky_uv = verts[tri][:, :, 3:5].astype(np.float32)
+                break
+
+    atlas = build_atlas([resolver.texture(n) for n in tex_names])
+
+    return RenderBundle(
+        atlas=atlas,
+        lightmap=cmap.lightmap,
+        map_pos=jnp.asarray(map_pos),
+        map_uv=jnp.asarray(map_uv),
+        map_lmuv=jnp.asarray(map_lmuv),
+        map_tex=jnp.asarray(map_tex.astype(np.int32)),
+        map_shaded=jnp.asarray(map_shaded),
+        mdl_pos=jnp.asarray(mdl_pos),
+        mdl_uv=jnp.asarray(mdl_uv),
+        mdl_color=jnp.asarray(mdl_color),
+        mdl_slot=jnp.asarray(mdl_slot),
+        mdl_range=jnp.asarray(ranges),
+        mdl_skin_tex=jnp.asarray(skin_tex),
+        mdl_skin_color=jnp.asarray(skin_color),
+        mdl_skin_shaded=jnp.asarray(skin_shaded),
+        sky_pos=jnp.asarray(sky_pos),
+        sky_uv=jnp.asarray(sky_uv),
+        sky_tex=jnp.asarray(np.int32(sky_tex_id)),
+    )

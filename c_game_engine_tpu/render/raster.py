@@ -1,0 +1,405 @@
+"""Software rasterizer (XLA reference implementation).
+
+Replaces the Vulkan render path (VK_RenderMap, Vulkan.c:850-912: sky -> map
+-> actors -> viewmodel) with a two-pass batched rasterizer:
+
+  pass 1: scan triangle chunks, keep per-pixel depth + winning triangle id
+  pass 2: recompute the winner's attributes per pixel and apply the exact
+          extracted fragment math (map_shaded_f / model_(un)shaded_f /
+          sky_f .gshd sources — see shade())
+
+Depth = NDC z interpolated affinely in screen space (exact for planar
+triangles with a zo projection); attributes are perspective-corrected via
+1/w. Near-plane triangle clipping is not yet implemented — triangles with a
+vertex behind the camera are dropped (TODO round2: clip). Alpha screen-door
+discard currently falls through to fog/sky rather than the next fragment
+behind (single-winner buffer; faithful for the maps' mostly-opaque
+surfaces).
+
+A Pallas tile-based version for bulk throughput lives in ops/ (see
+ops/raster_tiles.py when present); this module is the correctness
+reference for image goldens.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from c_game_engine_tpu.actors.defs import ActorClass
+from c_game_engine_tpu.render.textures import sample
+from c_game_engine_tpu.utils.mathx import (
+    perspective_lh_zo,
+    quat_from_axis_angle,
+    quat_from_yaw_pitch,
+    quat_mul,
+    quat_look,
+    quat_rotate,
+)
+
+CHUNK = 64
+MAGIC_XY = jnp.array([0.06711056, 0.00583715])
+MAGIC_Z = 52.9829189
+
+# triangle kinds
+KIND_MAP = 0
+KIND_MODEL = 1
+KIND_WALL = 2
+KIND_SKY = 3
+
+
+def camera_matrix(cmap, state, width, height, fov_deg=90.0):
+    """View-projection matrix (VulkanHelpers.c:140-171): perspective_lh_zo
+    (fov, w/h, 0.01, 2000) x quat_look(pos, rot * rotX(pi))."""
+    p = state.player
+    cam_pos = jnp.where(p.freecam, p.freecam_pos, p.pos + jnp.array([0.0, 0.25, 0.0]))
+    cam_rot = quat_from_yaw_pitch(p.yaw, p.pitch)
+    # camera actor override (Camera.c: enable swaps GetState()->camera)
+    use_actor = state.camera_actor >= 0
+    ci = jnp.clip(state.camera_actor, 0, cmap.num_actors - 1)
+    cam_pos = jnp.where(use_actor, state.actors.pos[ci], cam_pos)
+    cam_rot = jnp.where(use_actor, state.actors.quat[ci], cam_rot)
+
+    persp = perspective_lh_zo(jnp.deg2rad(fov_deg), width / height, 0.01, 2000.0)
+    flip = quat_from_axis_angle(jnp.array([1.0, 0.0, 0.0]), jnp.pi)
+    view = quat_look(cam_pos, quat_mul(cam_rot, flip))
+    return persp @ view, cam_pos
+
+
+def gather_triangles(bundle, cmap, state):
+    """Assemble the per-env world-space triangle soup with attributes.
+
+    Returns dict of arrays over T = Tmap + Tmodels + Twalls + Tsky:
+      pos [T,3,3], uv [T,3,2], lmuv [T,3,2], color [T,3,4], tex [T],
+      kind [T], shaded [T], valid [T], twosided [T]
+    """
+    actors = state.actors
+    n = cmap.num_actors
+
+    parts = []
+
+    def add(pos, uv, color, tex, kind, shaded, valid, twosided, lmuv=None):
+        t = pos.shape[0]
+        parts.append(
+            dict(
+                pos=pos,
+                uv=uv,
+                lmuv=jnp.zeros((t, 3, 2)) if lmuv is None else lmuv,
+                color=color,
+                tex=tex,
+                kind=jnp.full((t,), kind, jnp.int32),
+                shaded=shaded,
+                valid=valid,
+                twosided=jnp.full((t,), twosided, bool),
+            )
+        )
+
+    # ---- map ----
+    tm = bundle.map_pos.shape[0]
+    add(
+        bundle.map_pos,
+        bundle.map_uv,
+        jnp.ones((tm, 3, 4)),
+        bundle.map_tex,
+        KIND_MAP,
+        bundle.map_shaded,
+        jnp.ones((tm,), bool),
+        False,
+        lmuv=bundle.map_lmuv,
+    )
+
+    # ---- actor models ----
+    # static table: which pool triangles belong to which actor
+    import numpy as np
+
+    model_id = np.asarray(cmap.model_id)
+    actor_rows, pool_rows = [], []
+    ranges = np.asarray(bundle.mdl_range)
+    for i in range(n):
+        m = model_id[i]
+        if m >= 0:
+            s, c = ranges[m]
+            actor_rows.extend([i] * int(c))
+            pool_rows.extend(range(int(s), int(s + c)))
+    if actor_rows:
+        a_of = jnp.asarray(np.array(actor_rows, np.int32))
+        p_of = jnp.asarray(np.array(pool_rows, np.int32))
+        local = bundle.mdl_pos[p_of]  # [Tmo, 3, 3]
+        aq = actors.quat[a_of]
+        ap = actors.pos[a_of]
+        world = quat_rotate(aq[:, None, :], local) + ap[:, None, :]
+        slot = bundle.mdl_slot[p_of]
+        mid = cmap.model_id[a_of]
+        skin = jnp.clip(actors.skin[a_of], 0, bundle.mdl_skin_tex.shape[1] - 1)
+        tex = bundle.mdl_skin_tex[mid, skin, slot]
+        mat_color = bundle.mdl_skin_color[mid, skin, slot]
+        shaded = bundle.mdl_skin_shaded[mid, skin, slot]
+        vcolor = bundle.mdl_color[p_of]
+        color = vcolor * mat_color[:, None, :] * actors.mod_color[a_of][:, None, :]
+        valid = actors.active[a_of] & actors.visible[a_of]
+        add(world, bundle.mdl_uv[p_of], color, tex, KIND_MODEL, shaded, valid, False)
+
+    # ---- actor walls (two-sided quads; base verts VulkanResources.c:251-334,
+    # vertex math actor_wall_shaded_v.gshd) ----
+    wall_mask_np = np.asarray(cmap.wall_axis) >= 0
+    wall_rows = np.where(wall_mask_np)[0]
+    if len(wall_rows):
+        w_of = jnp.asarray(wall_rows.astype(np.int32))
+        wq = actors.quat[w_of]
+        wp = actors.pos[w_of]
+        axis = cmap.wall_axis[w_of]  # 0 X, 1 Z
+        size = cmap.wall_size[w_of]  # length, height (inScale)
+        # lasers override length + uv scroll from live state (Laser.c)
+        is_laser = cmap.cls[w_of] == int(ActorClass.LASER)
+        length = jnp.where(is_laser, actors.fdata[w_of, 0], size[:, 0])
+        size = jnp.stack([length, size[:, 1]], -1)
+        center = cmap.wall_center[w_of]
+        center = jnp.where(
+            is_laser[:, None],
+            jnp.stack([-length / 2, jnp.zeros_like(length)], -1),
+            center,
+        )
+        uv_scale = cmap.wall_uv_scale[w_of]
+        uv_off = cmap.wall_uv_offset[w_of]
+        is_coin = cmap.cls[w_of] == int(ActorClass.COIN)
+        uv_off = jnp.where(
+            is_coin[:, None],
+            jnp.stack([0.25 * actors.idata[w_of, 0].astype(jnp.float32), jnp.zeros_like(length)], -1),
+            uv_off,
+        )
+        uv_off = jnp.where(
+            is_laser[:, None],
+            jnp.stack([actors.fdata[w_of, 1], jnp.zeros_like(length)], -1),
+            uv_off,
+        )
+        # quad corners in 2D: (+-0.5, +-0.5); uv: u = x+0.5, v = 0.5-y
+        corners2 = jnp.array(
+            [[0.5, -0.5], [0.5, 0.5], [-0.5, 0.5], [-0.5, -0.5]], jnp.float32
+        )
+        base_uv = jnp.stack([corners2[:, 0] + 0.5, 0.5 - corners2[:, 1]], -1)
+        p2 = corners2[None] * size[:, None, :] + center[:, None, :]  # [W,4,2]
+        ax = jnp.where(axis == 0, 1.0, 0.0)
+        az = jnp.where(axis == 1, 1.0, 0.0)
+        p3 = jnp.stack(
+            [p2[..., 0] * ax[:, None], p2[..., 1], p2[..., 0] * az[:, None]], -1
+        )
+        world4 = quat_rotate(wq[:, None, :], p3) + wp[:, None, :]  # [W,4,3]
+        uv4 = base_uv[None] * uv_scale[:, None, :] * size[:, None, :] + uv_off[:, None, :]
+        tri_idx = jnp.array([[0, 1, 2], [0, 2, 3]])
+        wpos = world4[:, tri_idx]  # [W,2,3,3]
+        wuv = uv4[:, tri_idx]
+        wpos = wpos.reshape(-1, 3, 3)
+        wuv = wuv.reshape(-1, 3, 2)
+        wtex = jnp.repeat(cmap.wall_tex[w_of], 2)
+        wshaded = jnp.repeat(~cmap.wall_unshaded[w_of], 2)
+        wcolor = jnp.repeat(actors.mod_color[w_of], 2, axis=0)[:, None, :].repeat(3, 1)
+        wvalid = jnp.repeat(
+            actors.active[w_of] & actors.visible[w_of] & (cmap.wall_tex[w_of] >= 0), 2
+        )
+        add(wpos, wuv, wcolor, wtex, KIND_WALL, wshaded, wvalid, True)
+
+    # ---- sky (sky_v.gshd: position offset by camera pos; added in render())
+    return parts
+
+
+def _concat_parts(parts):
+    out = {}
+    for k in parts[0]:
+        out[k] = jnp.concatenate([p[k] for p in parts], axis=0)
+    return out
+
+
+def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0):
+    """Render one env's view. Returns f32 [H, W, 3] in [0, 1]."""
+    vp, cam_pos = camera_matrix(cmap, state, width, height, fov_deg)
+    parts = gather_triangles(bundle, cmap, state)
+
+    # sky triangles follow the camera (sky_v.gshd)
+    ts = bundle.sky_pos.shape[0]
+    if ts:
+        parts.append(
+            dict(
+                pos=bundle.sky_pos + cam_pos[None, None, :],
+                uv=bundle.sky_uv,
+                lmuv=jnp.zeros((ts, 3, 2)),
+                color=jnp.ones((ts, 3, 4)),
+                tex=jnp.full((ts,), 1, jnp.int32) * bundle.sky_tex,
+                kind=jnp.full((ts,), KIND_SKY, jnp.int32),
+                shaded=jnp.zeros((ts,), bool),
+                valid=jnp.full((ts,), bundle.sky_tex >= 0),
+                twosided=jnp.ones((ts,), bool),
+            )
+        )
+    tri = _concat_parts(parts)
+    t_total = tri["pos"].shape[0]
+    pad = (-t_total) % CHUNK
+    if pad:
+        tri = jax.tree.map(
+            lambda x: jnp.concatenate([x, jnp.zeros((pad, *x.shape[1:]), x.dtype)]), tri
+        )
+        tri["valid"] = tri["valid"].at[t_total:].set(False)
+
+    # ---- vertex transform ----
+    pos_h = jnp.concatenate([tri["pos"], jnp.ones((*tri["pos"].shape[:2], 1))], -1)
+    clip = jnp.einsum("ij,tvj->tvi", vp, pos_h)  # [T,3,4]
+    w = clip[..., 3]
+    ok_w = jnp.all(w > 1e-4, axis=-1)
+    inv_w = 1.0 / jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)
+    ndc = clip[..., :3] * inv_w[..., None]
+    sx = (ndc[..., 0] + 1.0) * 0.5 * width
+    sy = (ndc[..., 1] + 1.0) * 0.5 * height
+    sz = ndc[..., 2]
+    # sky renders behind everything with no depth write (sky pipeline):
+    # force its depth to the far plane
+    is_sky = tri["kind"] == KIND_SKY
+    sz = jnp.where(is_sky[:, None], 0.999999, sz)
+
+    area2 = (sx[:, 1] - sx[:, 0]) * (sy[:, 2] - sy[:, 0]) - (
+        sy[:, 1] - sy[:, 0]
+    ) * (sx[:, 2] - sx[:, 0])
+    # back-face culling (pipeline: cull back, CCW front;
+    # VulkanPipelines.c:21-85); two-sided geometry skips the cull
+    front = (area2 < 0.0) | tri["twosided"]
+    tri_ok = tri["valid"] & ok_w & front & (jnp.abs(area2) > 1e-9)
+
+    px = jnp.arange(width, dtype=jnp.float32) + 0.5
+    py = jnp.arange(height, dtype=jnp.float32) + 0.5
+    gx, gy = jnp.meshgrid(px, py)
+
+    n_chunks = tri["pos"].shape[0] // CHUNK
+
+    def pass1(carry, ci):
+        zbuf, winner = carry
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, ci * CHUNK, CHUNK, axis=0)
+        cx, cy, cz = sl(sx), sl(sy), sl(sz)
+        cok = sl(tri_ok)
+        # edge functions at pixel centers: e(p) = (b-a) x (p-a)
+        def edges(i, j):
+            ax_, ay_ = cx[:, i], cy[:, i]
+            bx_, by_ = cx[:, j], cy[:, j]
+            return (bx_ - ax_)[:, None, None] * (gy[None] - ay_[:, None, None]) - (
+                by_ - ay_
+            )[:, None, None] * (gx[None] - ax_[:, None, None])
+
+        e0 = edges(0, 1)
+        e1 = edges(1, 2)
+        e2 = edges(2, 0)
+        inside = ((e0 <= 0) & (e1 <= 0) & (e2 <= 0)) | ((e0 >= 0) & (e1 >= 0) & (e2 >= 0))
+        # affine depth via barycentric from edge functions
+        denom = e0 + e1 + e2
+        denom = jnp.where(jnp.abs(denom) > 1e-9, denom, 1e-9)
+        b0 = e1 / denom
+        b1 = e2 / denom
+        b2 = e0 / denom
+        z = (
+            b0 * cz[:, 0, None, None]
+            + b1 * cz[:, 1, None, None]
+            + b2 * cz[:, 2, None, None]
+        )
+        zvalid = inside & cok[:, None, None] & (z > 0.0) & (z < 1.0)
+        z = jnp.where(zvalid, z, jnp.inf)
+        best = jnp.argmin(z, axis=0)  # [H, W]
+        bz = jnp.take_along_axis(z, best[None], axis=0)[0]
+        closer = bz < zbuf
+        zbuf = jnp.where(closer, bz, zbuf)
+        winner = jnp.where(closer, ci * CHUNK + best, winner)
+        return (zbuf, winner), None
+
+    zbuf0 = jnp.full((height, width), jnp.inf)
+    win0 = jnp.full((height, width), -1, jnp.int32)
+    (zbuf, winner), _ = jax.lax.scan(pass1, (zbuf0, win0), jnp.arange(n_chunks))
+
+    # ---- pass 2: shade winners ----
+    has = winner >= 0
+    widx = jnp.clip(winner, 0, None)
+    v_sx = sx[widx]  # [H, W, 3]
+    v_sy = sy[widx]
+    v_iw = inv_w[widx]
+
+    def edge_at(i, j):
+        return (v_sx[..., j] - v_sx[..., i]) * (gy - v_sy[..., i]) - (
+            v_sy[..., j] - v_sy[..., i]
+        ) * (gx - v_sx[..., i])
+
+    e0 = edge_at(0, 1)
+    e1 = edge_at(1, 2)
+    e2 = edge_at(2, 0)
+    denom = e0 + e1 + e2
+    denom = jnp.where(jnp.abs(denom) > 1e-9, denom, 1e-9)
+    b = jnp.stack([e1 / denom, e2 / denom, e0 / denom], -1)  # [H, W, 3]
+
+    # perspective-correct interpolation
+    iw = jnp.sum(b * v_iw, -1)  # interp(1/w)
+    pw = 1.0 / jnp.maximum(iw, 1e-12)
+
+    def interp(attr):  # attr [T, 3, K]
+        av = attr[widx]  # [H, W, 3, K]
+        return jnp.sum(av * (b * v_iw)[..., None], axis=-2) * pw[..., None]
+
+    uv = interp(tri["uv"])
+    lmuv = interp(tri["lmuv"])
+    color = interp(tri["color"])
+    z_pix = jnp.sum(b * sz[widx], -1)
+    frag_depth = z_pix * pw  # gl_FragCoord.z / gl_FragCoord.w
+
+    tex_id = tri["tex"][widx]
+    kind = tri["kind"][widx]
+    shaded = tri["shaded"][widx]
+
+    rgb = shade(
+        bundle, state, gx, gy, uv, lmuv, color, tex_id, kind, shaded, frag_depth
+    )
+    # background (no winner): fog color (the clear color is the fog color in
+    # spirit; Vulkan clears to black — use black)
+    rgb = jnp.where(has[..., None], rgb, 0.0)
+    return jnp.clip(rgb, 0.0, 1.0)
+
+
+def shade(bundle, state, gx, gy, uv, lmuv, color, tex_id, kind, shaded, frag_depth):
+    """Exact fragment math from the extracted .gshd sources."""
+    env = state.env
+    tex4 = sample(bundle.atlas, tex_id, uv)
+
+    out = tex4 * color[..., 3:4]
+    fade = jnp.clip(out[..., 3], 0.0, 1.0)
+    hash_ = jnp.modf(
+        MAGIC_Z * jnp.modf(gx * MAGIC_XY[0] + gy * MAGIC_XY[1])[0]
+    )[0]
+    discard = (fade < 0.001) | (fade < hash_)
+
+    # lightmap (map pipeline only)
+    lw = bundle.lightmap.shape[1]
+    lh = bundle.lightmap.shape[0]
+    lx = jnp.clip((lmuv[..., 0] * lw).astype(jnp.int32), 0, lw - 1)
+    ly = jnp.clip((lmuv[..., 1] * lh).astype(jnp.int32), 0, lh - 1)
+    lm = bundle.lightmap[ly, lx][..., :3]
+
+    light = env.light_color[:3]
+    base = out[..., :3] * color[..., :3]
+    lit = jnp.where(
+        shaded[..., None],
+        base * light * jnp.where((kind == KIND_MAP)[..., None], lm, 1.0),
+        base,
+    )
+    fog_factor = (
+        jnp.clip(
+            (frag_depth - env.fog_start) / jnp.maximum(env.fog_end - env.fog_start, 1e-6),
+            0.0,
+            1.0,
+        )
+        * env.fog_color[3]
+    )
+    rgb = lit + (env.fog_color[:3] - lit) * fog_factor[..., None]
+    rgb = jnp.clip(rgb * env.exposure, 0.0, 1.0)
+
+    # sky: texture * exposure only (sky_f.gshd)
+    sky_rgb = jnp.clip(tex4[..., :3] * env.exposure, 0.0, 1.0)
+    rgb = jnp.where((kind == KIND_SKY)[..., None], sky_rgb, rgb)
+
+    # screen-door alpha: discarded fragments fall back to fog color
+    # (single-winner buffer; see module docstring)
+    fallback = jnp.clip(env.fog_color[:3] * env.exposure, 0.0, 1.0)
+    rgb = jnp.where(
+        (discard & (kind != KIND_SKY))[..., None], fallback, rgb
+    )
+    return rgb

@@ -1,0 +1,240 @@
+// cge_native — host-side native runtime components.
+//
+// The reference engine's runtime is C11 + C++ dependencies (Jolt physics,
+// zlib asset pipeline; SURVEY.md §2.9). The TPU rebuild keeps the compute
+// path in XLA, and provides native equivalents for the host-side pieces:
+//
+//   1. .g* asset container codec (23-byte header + gzip stream,
+//      engine/src/assets/AssetReader.c:150-257) — bulk asset decode for the
+//      map compiler without Python-side gzip overhead.
+//   2. An independent double-precision capsule character-controller oracle
+//      (collide-and-slide vs a triangle soup) used by the test suite to
+//      cross-validate the vmapped JAX controller (SURVEY.md §2.9 suggests a
+//      host-side golden-reference oracle in C++).
+//
+// Exposed as a plain C ABI for ctypes (pybind11 is not available in this
+// image).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+#include <zlib.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// asset container
+// ---------------------------------------------------------------------------
+
+// Reads a .g* container. Returns 0 on success. Caller frees *out_data with
+// cge_free.
+int cge_read_asset(const char *path, uint8_t *out_type, uint8_t *out_type_version,
+                   uint8_t **out_data, uint64_t *out_size) {
+    FILE *f = fopen(path, "rb");
+    if (!f) return -1;
+    uint8_t header[23];
+    if (fread(header, 1, 23, f) != 23) { fclose(f); return -2; }
+    uint32_t magic;
+    memcpy(&magic, header, 4);
+    if (magic != 0x454D4147u) { fclose(f); return -3; }
+    if (header[4] != 2) { fclose(f); return -4; }
+    *out_type = header[5];
+    *out_type_version = header[6];
+    uint64_t dsize, csize;
+    memcpy(&dsize, header + 7, 8);
+    memcpy(&csize, header + 15, 8);
+    std::vector<uint8_t> comp(csize);
+    if (fread(comp.data(), 1, csize, f) != csize) { fclose(f); return -5; }
+    fclose(f);
+
+    uint8_t *out = (uint8_t *)malloc(dsize ? dsize : 1);
+    if (!out) return -6;
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    // 15 + 16: gzip wrapper
+    if (inflateInit2(&zs, 15 + 16) != Z_OK) { free(out); return -7; }
+    zs.next_in = comp.data();
+    zs.avail_in = (uInt)csize;
+    zs.next_out = out;
+    zs.avail_out = (uInt)dsize;
+    int rc = inflate(&zs, Z_FINISH);
+    inflateEnd(&zs);
+    if (rc != Z_STREAM_END || zs.total_out != dsize) { free(out); return -8; }
+    *out_data = out;
+    *out_size = dsize;
+    return 0;
+}
+
+// Writes a .g* container (gzip level 6). Returns 0 on success.
+int cge_write_asset(const char *path, uint8_t type, uint8_t type_version,
+                    const uint8_t *data, uint64_t size) {
+    uLongf bound = compressBound((uLong)size) + 32;
+    std::vector<uint8_t> comp(bound);
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    if (deflateInit2(&zs, 6, Z_DEFLATED, 15 + 16, 8, Z_DEFAULT_STRATEGY) != Z_OK)
+        return -1;
+    zs.next_in = (Bytef *)data;
+    zs.avail_in = (uInt)size;
+    zs.next_out = comp.data();
+    zs.avail_out = (uInt)bound;
+    if (deflate(&zs, Z_FINISH) != Z_STREAM_END) { deflateEnd(&zs); return -2; }
+    uint64_t csize = zs.total_out;
+    deflateEnd(&zs);
+
+    FILE *f = fopen(path, "wb");
+    if (!f) return -3;
+    uint8_t header[23];
+    uint32_t magic = 0x454D4147u;
+    memcpy(header, &magic, 4);
+    header[4] = 2;
+    header[5] = type;
+    header[6] = type_version;
+    memcpy(header + 7, &size, 8);
+    memcpy(header + 15, &csize, 8);
+    fwrite(header, 1, 23, f);
+    fwrite(comp.data(), 1, csize, f);
+    fclose(f);
+    return 0;
+}
+
+void cge_free(void *p) { free(p); }
+
+// ---------------------------------------------------------------------------
+// character controller oracle
+// ---------------------------------------------------------------------------
+
+struct V3 {
+    double x, y, z;
+};
+static inline V3 sub(V3 a, V3 b) { return {a.x - b.x, a.y - b.y, a.z - b.z}; }
+static inline V3 add(V3 a, V3 b) { return {a.x + b.x, a.y + b.y, a.z + b.z}; }
+static inline V3 mul(V3 a, double s) { return {a.x * s, a.y * s, a.z * s}; }
+static inline double dot(V3 a, V3 b) { return a.x * b.x + a.y * b.y + a.z * b.z; }
+static inline V3 cross(V3 a, V3 b) {
+    return {a.y * b.z - a.z * b.y, a.z * b.x - a.x * b.z, a.x * b.y - a.y * b.x};
+}
+static inline double len(V3 a) { return std::sqrt(dot(a, a)); }
+
+static V3 closest_on_tri(V3 p, V3 a, V3 b, V3 c) {
+    V3 ab = sub(b, a), ac = sub(c, a), ap = sub(p, a);
+    double d1 = dot(ab, ap), d2 = dot(ac, ap);
+    if (d1 <= 0 && d2 <= 0) return a;
+    V3 bp = sub(p, b);
+    double d3 = dot(ab, bp), d4 = dot(ac, bp);
+    if (d3 >= 0 && d4 <= d3) return b;
+    double vc = d1 * d4 - d3 * d2;
+    if (vc <= 0 && d1 >= 0 && d3 <= 0) {
+        double v = d1 / (d1 - d3);
+        return add(a, mul(ab, v));
+    }
+    V3 cp = sub(p, c);
+    double d5 = dot(ab, cp), d6 = dot(ac, cp);
+    if (d6 >= 0 && d5 <= d6) return c;
+    double vb = d5 * d2 - d1 * d6;
+    if (vb <= 0 && d2 >= 0 && d6 <= 0) {
+        double w = d2 / (d2 - d6);
+        return add(a, mul(ac, w));
+    }
+    double va = d3 * d6 - d5 * d4;
+    if (va <= 0 && (d4 - d3) >= 0 && (d5 - d6) >= 0) {
+        double w = (d4 - d3) / ((d4 - d3) + (d5 - d6));
+        return add(b, mul(sub(c, b), w));
+    }
+    double denom = 1.0 / (va + vb + vc);
+    double v = vb * denom, w = vc * denom;
+    return add(a, add(mul(ab, v), mul(ac, w)));
+}
+
+static V3 closest_on_seg(V3 p, V3 s0, V3 s1) {
+    V3 d = sub(s1, s0);
+    double dd = dot(d, d);
+    double t = dd > 1e-30 ? dot(sub(p, s0), d) / dd : 0.0;
+    t = std::clamp(t, 0.0, 1.0);
+    return add(s0, mul(d, t));
+}
+
+// One collide-and-slide step of the capsule character (r=0.2 halfH=0.25,
+// max slope 50 deg, 4 resolve iterations, stick-to-floor 0.25).
+// tris: ntris * 9 doubles. pos/vel: 3 doubles, updated in place.
+// Returns 1 if grounded after the step.
+int cge_character_step(const double *tris, int64_t ntris, double *pos,
+                       double *vel, double dt, int was_on_ground) {
+    const double R = 0.2, HH = 0.25, MAX_SLOPE_COS = 0.6427876097;
+    V3 p = {pos[0] + vel[0] * dt, pos[1] + vel[1] * dt, pos[2] + vel[2] * dt};
+    V3 v = {vel[0], vel[1], vel[2]};
+    bool grounded = false;
+
+    auto resolve = [&](V3 &p, V3 &v, bool &grounded) {
+        for (int it = 0; it < 4; it++) {
+            double best_d = -1e30;
+            V3 best_n = {0, 1, 0};
+            for (int64_t t = 0; t < ntris; t++) {
+                V3 a = {tris[t * 9 + 0], tris[t * 9 + 1], tris[t * 9 + 2]};
+                V3 b = {tris[t * 9 + 3], tris[t * 9 + 4], tris[t * 9 + 5]};
+                V3 c = {tris[t * 9 + 6], tris[t * 9 + 7], tris[t * 9 + 8]};
+                V3 s0 = {p.x, p.y - HH, p.z}, s1 = {p.x, p.y + HH, p.z};
+                // alternating projection (3 iterations, as in geometry.py)
+                V3 q = closest_on_tri({p.x, p.y, p.z}, a, b, c);
+                V3 ps = s0;
+                for (int k = 0; k < 3; k++) {
+                    ps = closest_on_seg(q, s0, s1);
+                    q = closest_on_tri(ps, a, b, c);
+                }
+                V3 delta = sub(ps, q);
+                double dist = len(delta);
+                V3 fn = cross(sub(b, a), sub(c, a));
+                double fl = len(fn);
+                if (fl < 1e-12) continue;
+                fn = mul(fn, 1.0 / fl);
+                double side = dot(sub({p.x, p.y, p.z}, a), fn) >= 0 ? 1.0 : -1.0;
+                V3 n;
+                if (dist > 1e-6) {
+                    n = mul(delta, 1.0 / dist);
+                    double flip = dot(n, fn) * side >= 0 ? 1.0 : -1.0;
+                    n = mul(n, flip);
+                } else {
+                    n = mul(fn, side);
+                }
+                double depth = R - dot(delta, n);
+                if (depth > best_d) {
+                    best_d = depth;
+                    best_n = n;
+                }
+            }
+            if (best_d > -0.01) {
+                if (best_d > 0) p = add(p, mul(best_n, best_d));
+                double vn = dot(v, best_n);
+                if (vn < 0) v = sub(v, mul(best_n, vn));
+                if (best_n.y >= MAX_SLOPE_COS) grounded = true;
+            }
+        }
+    };
+
+    resolve(p, v, grounded);
+    if (was_on_ground && !grounded && v.y <= 1e-4) {
+        V3 p2 = {p.x, p.y - 0.25, p.z};
+        V3 v2 = v;
+        bool g2 = false;
+        resolve(p2, v2, g2);
+        if (g2) {
+            p = p2;
+            v = v2;
+            grounded = true;
+        }
+    }
+    pos[0] = p.x;
+    pos[1] = p.y;
+    pos[2] = p.z;
+    vel[0] = v.x;
+    vel[1] = v.y;
+    vel[2] = v.z;
+    return grounded ? 1 : 0;
+}
+
+}  // extern "C"
