@@ -27,6 +27,31 @@ from c_game_engine_tpu.utils.mathx import lerp, quat_from_axis_angle, quat_rotat
 TPS = 60.0
 
 
+def compute_laser_rays(cmap, actors):
+    """Laser hitscan for one env (fallback path when update_actors is called
+    outside step_batch; the batched path uses
+    physics.batched.cast_rays_batched). Returns (hit [N], len [N])."""
+    import jax
+
+    n = cmap.num_actors
+    from c_game_engine_tpu.physics.batched import cast_rays_batched
+
+    is_laser = cmap.cls == int(ActorClass.LASER)
+    fwd = quat_rotate(actors.quat, jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (n, 3)))
+    b_actors = jax.tree.map(lambda x: x[None], actors)
+    hit, frac, _ = cast_rays_batched(
+        cmap,
+        b_actors,
+        actors.pos,
+        fwd,
+        50.0,
+        exclude=cmap.siparams[:, 1],
+        require_flags=int(ActorFlags.CAN_BLOCK_LASERS),
+        B_env=1,
+    )
+    return hit & is_laser, 50.0 * frac
+
+
 # ---------------------------------------------------------------------------
 # contact phase (player capsule vs sensors)
 # ---------------------------------------------------------------------------
@@ -162,7 +187,9 @@ def contact_phase(cmap, state, fired, fired_pi):
 # ---------------------------------------------------------------------------
 
 
-def update_actors(cmap, state, fired, fired_pi, delta, camera_pos):
+def update_actors(cmap, state, fired, fired_pi, delta, camera_pos, laser_hit=None, laser_len=None):
+    if laser_hit is None:
+        laser_hit, laser_len = compute_laser_rays(cmap, state.actors)
     actors = state.actors
     n = cmap.num_actors
     cls = cmap.cls
@@ -236,38 +263,18 @@ def update_actors(cmap, state, fired, fired_pi, delta, camera_pos):
     )
     fired, fired_pi = fire(fired, fired_pi, expired, Output.UNPRESSED)
 
-    # ---- laser raycast + uv scroll (Laser.c:LaserUpdate) ----
-    # only compile-time laser slots cast rays (4-8 lanes, not all N)
-    import jax
-    import numpy as np
-
-    laser_rows = np.where(np.asarray(cmap.cls) == int(ActorClass.LASER))[0]
-    if len(laser_rows):
-        l_of = jnp.asarray(laser_rows.astype(np.int32))
-        laser_on = active[l_of] & (actors.idata[l_of, 0] != 0)
-        fwd = quat_rotate(actors.quat[l_of], jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (len(laser_rows), 3)))
-
-        def one_ray(origin, direction, self_idx):
-            return cast_ray(
-                cmap,
-                actors,
-                origin,
-                direction,
-                50.0,  # MAX_DISTANCE (Laser.c:110)
-                exclude_actor=self_idx,
-                require_flags=int(ActorFlags.CAN_BLOCK_LASERS),
-                static_layer_only=False,
-            )
-
-        # NOTE: triple lasers restrict to the STATIC layer (Laser.c:64-71);
-        # they also collide DYNAMIC here. TODO(round2): per-lane layer filter.
-        hit, frac, _ = jax.vmap(one_ray)(actors.pos[l_of], fwd, cmap.siparams[l_of, 1])
-        beam_len = jnp.where(hit, 50.0 * frac, actors.fdata[l_of, 0])
-        new_uv = jnp.mod(actors.fdata[l_of, 1] + delta / 8.0, 1.0)
-        fd = actors.fdata
-        fd = fd.at[l_of, 0].set(jnp.where(laser_on, beam_len, fd[l_of, 0]))
-        fd = fd.at[l_of, 1].set(jnp.where(laser_on, new_uv, fd[l_of, 1]))
-        actors = actors.replace(fdata=fd)
+    # ---- laser beam + uv scroll (Laser.c:LaserUpdate) ----
+    # the actual raycasts run in the batched kernel (physics/batched.py,
+    # called from core/step.py); laser_hit/laser_len [N] carry the results
+    laser_on = active & (cls == int(ActorClass.LASER)) & (actors.idata[:, 0] != 0)
+    beam_len = jnp.where(laser_hit, laser_len, actors.fdata[:, 0])
+    new_uv = jnp.mod(actors.fdata[:, 1] + delta / 8.0, 1.0)
+    actors = actors.replace(
+        fdata=actors.fdata.at[:, 0]
+        .set(jnp.where(laser_on, beam_len, actors.fdata[:, 0]))
+        .at[:, 1]
+        .set(jnp.where(laser_on, new_uv, actors.fdata[:, 1]))
+    )
 
     # ---- env interpolators (GlobalLight/Fog/Tonemap Update) ----
     env = state.env

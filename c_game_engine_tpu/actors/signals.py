@@ -42,12 +42,12 @@ def empty_fired(n):
 
 
 def fire(fired, fired_pi, mask, output: Output, pi=None):
-    """Mark output fired for all actors where mask [N] is set."""
-    fired = fired.at[:, int(output)].set(fired[:, int(output)] | mask)
+    """Mark output fired where mask is set. Works on [N, O] and batched
+    [B, N, O] fired arrays (mask [N] / [B, N])."""
+    o = int(output)
+    fired = fired.at[..., o].set(fired[..., o] | mask)
     if pi is not None:
-        fired_pi = fired_pi.at[:, int(output)].set(
-            jnp.where(mask, pi, fired_pi[:, int(output)])
-        )
+        fired_pi = fired_pi.at[..., o].set(jnp.where(mask, pi, fired_pi[..., o]))
     return fired, fired_pi
 
 

@@ -328,6 +328,9 @@ def compile_map(
         tris=jnp.asarray(tris_p),
         tri_normal=jnp.asarray(nrm.astype(np.float32)),
         tri_valid=jnp.asarray(tri_valid),
+        tri_soa=jnp.asarray(
+            np.concatenate([tris_p.reshape(t, 9).T, nrm.astype(np.float32).T], axis=0)
+        ),
         grid_lo=jnp.asarray(grid["lo"]),
         grid_inv_cell=jnp.asarray(grid["inv_cell"]),
         grid_cells=jnp.asarray(grid["cells"]),

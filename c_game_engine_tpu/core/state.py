@@ -35,6 +35,7 @@ class CompiledMap:
     tris: jnp.ndarray  # [T, 3, 3] world-space triangles (padded; pad = degenerate far below)
     tri_normal: jnp.ndarray  # [T, 3] unit normals (ccw winding)
     tri_valid: jnp.ndarray  # [T] bool
+    tri_soa: jnp.ndarray  # [12, T] component-major: ax..cz + normal xyz (geometry_soa)
     # uniform XZ broadphase grid (compiler/broadphase.py)
     grid_lo: jnp.ndarray  # [2]
     grid_inv_cell: jnp.ndarray  # []

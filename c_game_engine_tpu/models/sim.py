@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from c_game_engine_tpu.compiler.compile import compile_map
 from c_game_engine_tpu.core.actions import Actions
 from c_game_engine_tpu.core.state import EnvState, reset
-from c_game_engine_tpu.core.step import step
+from c_game_engine_tpu.core.step import step, step_batch as _step_batch
 
 
 def reset_batch(cmap, batch: int) -> EnvState:
@@ -29,7 +29,7 @@ def reset_batch(cmap, batch: int) -> EnvState:
 
 
 def step_batch(cmap, state: EnvState, actions: Actions) -> EnvState:
-    return jax.vmap(step, in_axes=(None, 0, 0))(cmap, state, actions)
+    return _step_batch(cmap, state, actions)
 
 
 def rollout(cmap, state: EnvState, actions: Actions) -> EnvState:

@@ -1,0 +1,113 @@
+"""Pallas TPU kernel: top-K support contacts of dynamic boxes vs the static
+triangle soup.
+
+Contact generation was the hot half of the rigid-body substep: the XLA
+version gathered grid candidates per body ([D, L, B] random gathers, slow
+on TPU) and ran lax.top_k. Here the whole (VMEM-resident) soup is scanned
+in chunks per dynamic body, maintaining a running top-K (K=4) insertion
+buffer — no gathers, no sort.
+
+Outputs per env block: [8, D*K, B] components: depth, nx, ny, nz, px, py,
+pz, pad. The impulse solver consumes them as dense [D, K, B] arrays in
+physics/batched.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from c_game_engine_tpu.ops.capsule_resolve import T_CHUNK, _closest_on_tri, _qrot
+
+BLK = 128
+K = 4
+
+
+def _kernel(tri_ref, body_ref, out_ref, *, D):
+    n_chunks = tri_ref.shape[0] // T_CHUNK
+
+    for d in range(D):
+        row = lambda k: body_ref[k, d : d + 1, :]  # [1, BLK]
+        ccx, ccy, ccz = row(0), row(1), row(2)
+        qx, qy, qz, qw = row(3), row(4), row(5), row(6)
+        hx, hy, hz = row(7), row(8), row(9)
+        on = row(10)
+
+        neg = jnp.full_like(ccx, -1e30)
+        zero = jnp.zeros_like(ccx)
+        # running top-K: lists of ([1, BLK]) tuples, sorted desc by depth
+        best = [[neg, zero, zero + 1.0, zero, zero, zero, zero] for _ in range(K)]
+
+        def chunk_body(ci, best_flat):
+            best = [best_flat[i * 7 : (i + 1) * 7] for i in range(K)]
+            tri = tri_ref[pl.ds(ci * T_CHUNK, T_CHUNK), :]
+            col = lambda k: tri[:, k : k + 1]
+            ax, ay, az = col(0), col(1), col(2)
+            bx, by, bz = col(3), col(4), col(5)
+            cx, cy, cz = col(6), col(7), col(8)
+            fnx, fny, fnz = col(9), col(10), col(11)
+            tvalid = col(12)
+
+            qtx, qty, qtz = _closest_on_tri(ccx, ccy, ccz, ax, ay, az, bx, by, bz, cx, cy, cz)
+            dx, dy, dz = ccx - qtx, ccy - qty, ccz - qtz
+            dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+            inv = 1.0 / jnp.maximum(dist, 1e-9)
+            rx, ry, rz = dx * inv, dy * inv, dz * inv
+            side = jnp.sign((ccx - ax) * fnx + (ccy - ay) * fny + (ccz - az) * fnz)
+            side = jnp.where(side == 0, 1.0, side)
+            flip = jnp.sign(rx * fnx + ry * fny + rz * fnz) * side
+            flip = jnp.where(flip == 0, 1.0, flip)
+            nx = jnp.where(dist > 1e-6, rx * flip, fnx * side)
+            ny = jnp.where(dist > 1e-6, ry * flip, fny * side)
+            nz = jnp.where(dist > 1e-6, rz * flip, fnz * side)
+            signed = dx * nx + dy * ny + dz * nz
+            # box support radius along -n (toward the triangle)
+            lx, ly, lz = _qrot(-qx, -qy, -qz, qw, nx, ny, nz)
+            r_sup = jnp.abs(lx) * hx + jnp.abs(ly) * hy + jnp.abs(lz) * hz
+            depth = jnp.where((tvalid > 0.5) & (on > 0.5), r_sup - signed, -1e30)
+
+            # chunk top-K by repeated max+mask, inserted into the running set
+            work = depth
+            for _k in range(K):
+                m = jnp.max(work, axis=0, keepdims=True)
+                is_m = work == m
+                cnt = jnp.maximum(jnp.sum(is_m, axis=0, keepdims=True).astype(jnp.float32), 1.0)
+                pick = lambda a: jnp.sum(jnp.where(is_m, a, 0.0), 0, keepdims=True) / cnt
+                cand = [m, pick(nx), pick(ny), pick(nz), pick(qtx), pick(qty), pick(qtz)]
+                work = jnp.where(is_m, -1e30, work)
+                # insertion: bubble cand down the sorted best list
+                for slot in range(K):
+                    swap = cand[0] > best[slot][0]
+                    new_slot = [jnp.where(swap, c, b) for c, b in zip(cand, best[slot])]
+                    cand = [jnp.where(swap, b, c) for c, b in zip(cand, best[slot])]
+                    best[slot] = new_slot
+            return sum(best, [])
+
+        best_flat = jax.lax.fori_loop(0, n_chunks, chunk_body, sum(best, []))
+        for k_ in range(K):
+            for c_ in range(7):
+                out_ref[c_, d * K + k_ : d * K + k_ + 1, :] = best_flat[k_ * 7 + c_]
+        out_ref[7, d * K : (d + 1) * K, :] = jnp.zeros((K, ccx.shape[1]), jnp.float32)
+
+
+def body_contacts_pallas(tri16, body11, D):
+    """tri16 [T, 16]; body11 [16, D, B] comps (ccx ccy ccz qx qy qz qw hx hy
+    hz on ...). Returns [8, D*K, B]: depth nx ny nz px py pz pad."""
+    import functools
+
+    B = body11.shape[2]
+    assert B % BLK == 0
+    T = tri16.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_kernel, D=D),
+        grid=(B // BLK,),
+        in_specs=[
+            pl.BlockSpec((T, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, D, BLK), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, D * K, BLK), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, D * K, B), jnp.float32),
+    )(tri16, body11)
+    return out

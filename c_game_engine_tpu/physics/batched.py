@@ -1,0 +1,629 @@
+"""Batch-wide physics kernels in lanes-major/batch-minor layout.
+
+These are the hot paths of the tick, hand-batched over the env axis instead
+of vmapped, so every large intermediate has its two minor dimensions dense
+on the TPU's (8, 128) tiles (see geometry_soa.py for why). Semantics match
+physics/character.py and physics/bodies.py, which remain the single-env
+reference implementations.
+
+Shapes (B = env batch, L = grid candidate lanes, N = actor slots,
+D = dynamic-body slots, K = contact manifold size):
+
+  capsule/triangle contacts      [L, B]
+  capsule/actor-box contacts     [N, B]
+  body/triangle contacts         [D, L, B]
+  body/body pair contacts        [D, N, B]
+  rays vs triangles              [T, R]   (R = flattened ray count)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from c_game_engine_tpu.actors.defs import Layer, Motion, Shape
+from c_game_engine_tpu.physics import geometry_soa as g
+from c_game_engine_tpu.physics.character import (
+    CAPSULE_HALF_HEIGHT,
+    CAPSULE_RADIUS,
+    CHARACTER_MASS,
+    MAX_SLOPE_COS,
+    STEP_UP,
+    STICK_DOWN,
+)
+
+GRAVITY_Y = -9.81
+MAP_FRICTION = 4.25
+SOLVER_ITERS = 8
+BAUMGARTE = 0.2
+PENETRATION_SLOP = 0.005
+RELAX = 0.7
+MANIFOLD_K = 4
+
+
+def _grid_cells_at(cmap, px, pz):
+    """[B] positions -> candidate triangle lists [L, B]."""
+    gx, gz = cmap.aux["grid_shape"]
+    cx = jnp.clip(((px - cmap.grid_lo[0]) * cmap.grid_inv_cell).astype(jnp.int32), 0, gx - 1)
+    cz = jnp.clip(((pz - cmap.grid_lo[1]) * cmap.grid_inv_cell).astype(jnp.int32), 0, gz - 1)
+    return cmap.grid_cells[cx * gz + cz].T  # [L, B]
+
+
+def _tri_comps(cmap, cand):
+    """Gather the 12 per-triangle components for candidate index array
+    `cand` (any shape). Returns list of 12 arrays shaped like cand."""
+    candc = jnp.clip(cand, 0, None)
+    return [jnp.take(cmap.tri_soa[k], candc) for k in range(12)]
+
+
+def _solid_actor_soa(cmap, actors, B):
+    """Per-actor solid-collider comps, [N, B] each (broadcast from [B, N])."""
+    solid = (
+        actors.active
+        & (cmap.shape != int(Shape.EMPTY))[None, :]
+        & (cmap.motion != int(Motion.NONE))[None, :]
+        & (cmap.layer != int(Layer.SENSOR))[None, :]
+    )  # [B, N]
+    # box center = pos + R(quat) shape_center
+    qx, qy, qz, qw = (actors.quat[..., k].T for k in range(4))  # [N, B]
+    scx, scy, scz = (cmap.shape_center[:, k][:, None] for k in range(3))
+    ox, oy, oz = g.quat_rotate_soa(qx, qy, qz, qw, scx, scy, scz)
+    ox = ox + actors.pos[..., 0].T
+    oy = oy + actors.pos[..., 1].T
+    oz = oz + actors.pos[..., 2].T
+    hx, hy, hz = (cmap.halfext[:, k][:, None] for k in range(3))
+    return solid.T, (ox, oy, oz), (qx, qy, qz, qw), (hx, hy, hz)
+
+
+def _capsule_contacts(cmap, pos, solid_t, box_o, box_q, box_h, exclude=None):
+    """All capsule contacts at positions pos [B, 3].
+    Returns (depth [L+N, B], normal comps [L+N, B] x3)."""
+    B = pos.shape[0]
+    px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
+    sy0, sy1 = py - CAPSULE_HALF_HEIGHT, py + CAPSULE_HALF_HEIGHT
+
+    # ---- static triangles ----
+    cand = _grid_cells_at(cmap, px, pz)  # [L, B]
+    c = _tri_comps(cmap, cand)
+    cand_ok = (cand >= 0) & jnp.take(cmap.tri_valid, jnp.clip(cand, 0, None))
+    signed, nx, ny, nz = g.capsule_tri_contact_soa(
+        px[None], sy0[None], sy1[None], pz[None],
+        c[0], c[1], c[2], c[3], c[4], c[5], c[6], c[7], c[8], c[9], c[10], c[11],
+        CAPSULE_RADIUS,
+    )
+    tri_depth = jnp.where(cand_ok, CAPSULE_RADIUS - signed, -jnp.inf)
+
+    # ---- solid actor boxes ----
+    ox, oy, oz = box_o
+    qx, qy, qz, qw = box_q
+    hx, hy, hz = box_h
+    wx, wy, wz = g.closest_point_on_obb_soa(px[None], py[None], pz[None], ox, oy, oz, qx, qy, qz, qw, hx, hy, hz)
+    for _ in range(2):
+        spx, spy, spz = g.closest_point_on_vseg_soa(wx, wy, wz, px[None], sy0[None], sy1[None], pz[None])
+        wx, wy, wz = g.closest_point_on_obb_soa(spx, spy, spz, ox, oy, oz, qx, qy, qz, qw, hx, hy, hz)
+    dx, dy, dz = spx - wx, spy - wy, spz - wz
+    bnx, bny, bnz, bdist = g.normalize3(dx, dy, dz)
+    bmask = solid_t
+    if exclude is not None:
+        bmask = bmask & (jnp.arange(cmap.num_actors)[:, None] != exclude[None, :])
+    box_depth = jnp.where(bmask, CAPSULE_RADIUS - bdist, -jnp.inf)
+
+    depth = jnp.concatenate([tri_depth, box_depth], axis=0)
+    nxa = jnp.concatenate([nx, bnx], axis=0)
+    nya = jnp.concatenate([ny, bny], axis=0)
+    nza = jnp.concatenate([nz, bnz], axis=0)
+    return depth, nxa, nya, nza
+
+
+def resolve_capsule_batched(cmap, pos, vel, solid_ctx, iters=4):
+    """Batched penetration resolution. pos/vel [B,3].
+    Returns (pos, vel, grounded [B])."""
+    solid_t, box_o, box_q, box_h = solid_ctx
+
+    def body(_, carry):
+        pos, vel, grounded = carry
+        depth, nx, ny, nz = _capsule_contacts(cmap, pos, solid_t, box_o, box_q, box_h)
+        worst = jnp.argmax(depth, axis=0)  # [B]
+        take = lambda a: jnp.take_along_axis(a, worst[None], axis=0)[0]
+        d = take(depth)
+        wnx, wny, wnz = take(nx), take(ny), take(nz)
+        hit = d > -0.01
+        push = jnp.maximum(d, 0.0) * hit
+        pos = pos + jnp.stack([wnx, wny, wnz], -1) * push[:, None]
+        vn = vel[:, 0] * wnx + vel[:, 1] * wny + vel[:, 2] * wnz
+        clip = hit & (vn < 0)
+        vel = vel - jnp.stack([wnx, wny, wnz], -1) * jnp.where(clip, vn, 0.0)[:, None]
+        grounded = grounded | (hit & (wny >= MAX_SLOPE_COS))
+        return pos, vel, grounded
+
+    init = (pos, vel, jnp.zeros(pos.shape[0], bool))
+    return jax.lax.fori_loop(0, iters, body, init)
+
+
+def _resolve_dispatch(cmap, pos, vel, solid_ctx, pallas_ctx):
+    """Pallas kernel on TPU, XLA fallback elsewhere."""
+    if pallas_ctx is None:
+        return resolve_capsule_batched(cmap, pos, vel, solid_ctx)
+    from c_game_engine_tpu.ops.capsule_resolve import BLK, resolve_capsule_pallas
+
+    tri16, box8, boxh = pallas_ctx
+    B = pos.shape[0]
+    pad = (-B) % BLK
+    if pad:
+        pos = jnp.concatenate([pos, jnp.zeros((pad, 3))], 0)
+        vel = jnp.concatenate([vel, jnp.zeros((pad, 3))], 0)
+        box8 = jnp.concatenate([box8, jnp.zeros((*box8.shape[:2], pad))], -1)
+        boxh = jnp.concatenate([boxh, jnp.zeros((*boxh.shape[:2], pad))], -1)
+    p, v, g = resolve_capsule_pallas(tri16, box8, boxh, pos, vel)
+    if pad:
+        p, v, g = p[:B], v[:B], g[:B]
+    return p, v, g
+
+
+def _make_pallas_ctx(cmap, solid_ctx):
+    """Precompute the kernel inputs: [T,16] tri table + [8/4, N, B] box
+    component stacks."""
+    solid_t, box_o, box_q, box_h = solid_ctx
+    N, B = solid_t.shape
+    from c_game_engine_tpu.ops.capsule_resolve import T_CHUNK
+
+    T = cmap.tri_soa.shape[1]
+    tri16 = jnp.concatenate(
+        [
+            cmap.tri_soa.T,
+            cmap.tri_valid[:, None].astype(jnp.float32),
+            jnp.zeros((T, 3), jnp.float32),
+        ],
+        axis=1,
+    )
+    t_pad = (-T) % T_CHUNK
+    if t_pad:
+        tri16 = jnp.concatenate([tri16, jnp.zeros((t_pad, 16), jnp.float32)], 0)
+    bcast = lambda a: jnp.broadcast_to(a, (N, B))
+    box8 = jnp.stack(
+        [
+            bcast(box_o[0]), bcast(box_o[1]), bcast(box_o[2]),
+            bcast(box_q[0]), bcast(box_q[1]), bcast(box_q[2]), bcast(box_q[3]),
+            solid_t.astype(jnp.float32),
+        ]
+    )
+    boxh = jnp.stack(
+        [bcast(box_h[0]), bcast(box_h[1]), bcast(box_h[2]), jnp.zeros((N, B))]
+    )
+    return tri16, box8, boxh
+
+
+def update_character_batched(cmap, actors, pos, vel, dt, was_on_ground, jumping, noclip):
+    """Batched CharacterVirtual step (semantics of
+    character.update_character). pos/vel [B,3], flags [B]."""
+    B = pos.shape[0]
+    solid_ctx = _solid_actor_soa(cmap, actors, B)
+    pallas_ctx = (
+        _make_pallas_ctx(cmap, solid_ctx) if jax.default_backend() == "tpu" else None
+    )
+    new_pos = pos + vel * dt
+
+    p, v, grounded = _resolve_dispatch(cmap, new_pos, vel, solid_ctx, pallas_ctx)
+
+    # stair step-up
+    horiz = jnp.array([1.0, 0.0, 1.0])
+    h_in = jnp.linalg.norm(vel * horiz, axis=-1)
+    h_out = jnp.linalg.norm(v * horiz, axis=-1)
+    blocked = (h_in > 1e-4) & (h_out < 0.9 * h_in)
+    lifted = new_pos + jnp.array([0.0, STEP_UP, 0.0])
+    p2, v2, g2 = _resolve_dispatch(cmap, lifted, vel, solid_ctx, pallas_ctx)
+    h2 = jnp.linalg.norm(v2 * horiz, axis=-1)
+    use_step = blocked & (h2 > h_out + 1e-4)
+    p = jnp.where(use_step[:, None], p2, p)
+    v = jnp.where(use_step[:, None], v2, v)
+    grounded = jnp.where(use_step, g2, grounded)
+
+    # stick-to-floor
+    want_stick = was_on_ground & (~jumping) & (v[:, 1] <= 1e-4) & (~grounded)
+    dropped = p + jnp.array([0.0, -STICK_DOWN, 0.0])
+    p3, v3, g3 = _resolve_dispatch(cmap, dropped, v, solid_ctx, pallas_ctx)
+    stick = want_stick & g3
+    p = jnp.where(stick[:, None], p3, p)
+    v = jnp.where(stick[:, None], v3, v)
+    grounded = grounded | stick
+
+    pos_out = jnp.where(noclip[:, None], new_pos, p)
+    vel_out = jnp.where(noclip[:, None], vel, v)
+    grounded_out = jnp.where(noclip, False, grounded)
+    return pos_out, vel_out, grounded_out
+
+
+def cast_rays_batched(
+    cmap,
+    actors,
+    origin,
+    direction,
+    max_dist,
+    exclude=None,
+    require_flags: int = 0,
+    B_env=None,
+):
+    """Batched hitscan. origin/direction [R, 3] (R rays, flattened over the
+    batch); `actors` arrays are [B, N, ...] with R = B * K — pass B_env=B so
+    per-env actor state indexes correctly; exclude [R] actor ids.
+
+    Returns (hit [R], fraction [R], actor_idx [R] with -1 = static world)."""
+    R = origin.shape[0]
+    ox, oy, oz = origin[:, 0], origin[:, 1], origin[:, 2]
+    dx, dy, dz = direction[:, 0], direction[:, 1], direction[:, 2]
+
+    # ---- static triangles: [T, R] ----
+    ts = cmap.tri_soa
+    col = lambda k: ts[k][:, None]
+    hit_t, t_t = g.ray_tri_soa(
+        ox[None], oy[None], oz[None], dx[None], dy[None], dz[None],
+        col(0), col(1), col(2), col(3), col(4), col(5), col(6), col(7), col(8),
+        max_dist,
+    )
+    t_t = jnp.where(cmap.tri_valid[:, None], t_t, jnp.inf)
+    t_static = jnp.min(t_t, axis=0)  # [R]
+
+    # ---- actor boxes: [N, R] ----
+    B = B_env if B_env is not None else R
+    K = R // B
+    n = cmap.num_actors
+
+    def actor_comp(a):  # [B, N] -> [N, R]
+        return jnp.repeat(a.T, K, axis=1) if K > 1 else a.T
+
+    qx, qy, qz, qw = (actor_comp(actors.quat[..., k]) for k in range(4))
+    scx, scy, scz = (cmap.shape_center[:, k][:, None] for k in range(3))
+    cx_, cy_, cz_ = g.quat_rotate_soa(qx, qy, qz, qw, scx, scy, scz)
+    cx_ = cx_ + actor_comp(actors.pos[..., 0])
+    cy_ = cy_ + actor_comp(actors.pos[..., 1])
+    cz_ = cz_ + actor_comp(actors.pos[..., 2])
+    hx, hy, hz = (cmap.halfext[:, k][:, None] for k in range(3))
+    bhit, bt = g.ray_obb_soa(
+        ox[None], oy[None], oz[None], dx[None], dy[None], dz[None],
+        cx_, cy_, cz_, qx, qy, qz, qw, hx, hy, hz, max_dist,
+    )
+    solid = (
+        actor_comp(actors.active)
+        & (cmap.shape != int(Shape.EMPTY))[:, None]
+        & (cmap.motion != int(Motion.NONE))[:, None]
+        & (cmap.layer != int(Layer.SENSOR))[:, None]
+    )
+    if require_flags:
+        solid = solid & ((cmap.flags & require_flags) == require_flags)[:, None]
+    if exclude is not None:
+        solid = solid & (jnp.arange(n)[:, None] != exclude[None, :])
+    bt = jnp.where(solid & bhit, bt, jnp.inf)
+    k_best = jnp.argmin(bt, axis=0)  # [R]
+    t_act = jnp.take_along_axis(bt, k_best[None], axis=0)[0]
+
+    t_best = jnp.minimum(t_static, t_act)
+    idx = jnp.where(t_act < t_static, k_best.astype(jnp.int32), -1)
+    hit_any = jnp.isfinite(t_best)
+    frac = jnp.where(hit_any, t_best / max_dist, 1.0).astype(jnp.float32)
+    return hit_any, frac, idx
+
+
+def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: int = 2):
+    """Batched rigid-body update (semantics of bodies.step_bodies).
+    actors arrays [B, N, ...]; player [B, 3]. Returns full-lane
+    (pos, quat, vel, omega)."""
+    B, n = actors.pos.shape[0], cmap.num_actors
+    sl = cmap.dyn_slots
+    D = sl.shape[0]
+    slc = jnp.clip(sl, 0, n - 1)
+    d_on = (sl >= 0)[None, :] & actors.active[:, slc]  # [B, D]
+    d_on_t = d_on.T  # [D, B]
+
+    kinematic = actors.active & (cmap.motion == int(Motion.KINEMATIC))[None, :]
+    solid_full = (
+        actors.active
+        & (cmap.shape != int(Shape.EMPTY))[None, :]
+        & (cmap.motion != int(Motion.NONE))[None, :]
+        & (cmap.layer != int(Layer.SENSOR))[None, :]
+    )  # [B, N]
+
+    h = dt / n_substeps
+
+    # gathered dynamic lanes, component layout [D, B]
+    def gcomp(a, k):  # a [B, N, C]
+        return a[:, slc, k].T
+
+    dpx, dpy, dpz = (gcomp(actors.pos, k) for k in range(3))
+    dqx, dqy, dqz, dqw = (gcomp(actors.quat, k) for k in range(4))
+    dvx, dvy, dvz = (gcomp(actors.vel, k) for k in range(3))
+    dwx, dwy, dwz = (gcomp(actors.omega, k) for k in range(3))
+    d_inv_m = cmap.inv_mass[slc][:, None]  # [D, 1]
+    iIx, iIy, iIz = (cmap.inv_inertia[slc, k][:, None] for k in range(3))
+    dhx, dhy, dhz = (cmap.halfext[slc, k][:, None] for k in range(3))
+    dcx, dcy, dcz = (cmap.shape_center[slc, k][:, None] for k in range(3))
+    d_mu = jnp.sqrt(cmap.friction[slc] * MAP_FRICTION)[:, None]
+
+    # kinematic motion on full lanes (cheap)
+    k_pos = actors.pos + jnp.where(
+        kinematic[..., None], actors.vel * dt, 0.0
+    )
+
+    # other-actor tables for pair contacts, [N, B] comps (kinematics at
+    # their end-of-tick pose)
+    o_pos = jnp.where(kinematic[..., None], k_pos, actors.pos)
+    oqx, oqy, oqz, oqw = (actors.quat[..., k].T for k in range(4))
+    oscx, oscy, oscz = (cmap.shape_center[:, k][:, None] for k in range(3))
+    rx, ry, rz = g.quat_rotate_soa(oqx, oqy, oqz, oqw, oscx, oscy, oscz)
+    o_cx = rx + o_pos[..., 0].T
+    o_cy = ry + o_pos[..., 1].T
+    o_cz = rz + o_pos[..., 2].T
+    ohx, ohy, ohz = (cmap.halfext[:, k][:, None] for k in range(3))
+    o_solid = solid_full.T  # [N, B]
+    o_inv_m = jnp.where(
+        (cmap.motion == int(Motion.DYNAMIC))[None, :] & actors.active, cmap.inv_mass[None, :], 0.0
+    ).T  # [N, B]
+    ovx, ovy, ovz = (actors.vel[..., k].T for k in range(3))
+    a2d = cmap.actor_to_dyn
+
+    ppx, ppy, ppz = player_pos[:, 0], player_pos[:, 1], player_pos[:, 2]
+    pvx, pvy, pvz = player_vel[:, 0], player_vel[:, 1], player_vel[:, 2]
+
+    use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from c_game_engine_tpu.ops.capsule_resolve import T_CHUNK
+
+        T = cmap.tri_soa.shape[1]
+        tri16 = jnp.concatenate(
+            [cmap.tri_soa.T, cmap.tri_valid[:, None].astype(jnp.float32), jnp.zeros((T, 3), jnp.float32)],
+            axis=1,
+        )
+        t_pad = (-T) % T_CHUNK
+        if t_pad:
+            tri16 = jnp.concatenate([tri16, jnp.zeros((t_pad, 16), jnp.float32)], 0)
+    else:
+        tri16 = None
+
+    def rot_inv_apply(qx, qy, qz, qw, iIx, iIy, iIz, tx, ty, tz):
+        """world I^-1 @ t for diagonal local inertia."""
+        lx, ly, lz = g.quat_rotate_inv_soa(qx, qy, qz, qw, tx, ty, tz)
+        lx, ly, lz = lx * iIx, ly * iIy, lz * iIz
+        return g.quat_rotate_soa(qx, qy, qz, qw, lx, ly, lz)
+
+    def substep(carry, _):
+        dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz = carry
+        on = d_on_t
+        dvy = jnp.where(on, dvy + GRAVITY_Y * h, dvy)
+        dpx = jnp.where(on, dpx + dvx * h, dpx)
+        dpy = jnp.where(on, dpy + dvy * h, dpy)
+        dpz = jnp.where(on, dpz + dvz * h, dpz)
+        # quaternion integration: q += 0.5*h*(omega_quat * q)
+        ow = 0.0
+        nqx = dqx + 0.5 * h * (dwx * dqw + dwy * dqz - dwz * dqy)
+        nqy = dqy + 0.5 * h * (-dwx * dqz + dwy * dqw + dwz * dqx)
+        nqz = dqz + 0.5 * h * (dwx * dqy - dwy * dqx + dwz * dqw)
+        nqw = dqw + 0.5 * h * (-dwx * dqx - dwy * dqy - dwz * dqz)
+        qn = jnp.sqrt(nqx * nqx + nqy * nqy + nqz * nqz + nqw * nqw)
+        qn = jnp.maximum(qn, 1e-12)
+        dqx = jnp.where(on, nqx / qn, dqx)
+        dqy = jnp.where(on, nqy / qn, dqy)
+        dqz = jnp.where(on, nqz / qn, dqz)
+        dqw = jnp.where(on, nqw / qn, dqw)
+
+        # box centers
+        ccx, ccy, ccz = g.quat_rotate_soa(dqx, dqy, dqz, dqw, dcx, dcy, dcz)
+        ccx, ccy, ccz = ccx + dpx, ccy + dpy, ccz + dpz
+
+        # ---------------------------- vs static triangles
+        if use_pallas:
+            from c_game_engine_tpu.ops.body_contacts import BLK as PBLK, body_contacts_pallas
+
+            pad = (-B) % PBLK
+            body11 = jnp.zeros((16, D, B + pad), jnp.float32)
+            comps = [ccx, ccy, ccz, dqx, dqy, dqz, dqw,
+                     jnp.broadcast_to(dhx, (D, B)), jnp.broadcast_to(dhy, (D, B)),
+                     jnp.broadcast_to(dhz, (D, B)), on.astype(jnp.float32)]
+            for k_, a_ in enumerate(comps):
+                body11 = body11.at[k_, :, :B].set(a_)
+            outc = body_contacts_pallas(tri16, body11, D)[:, :, :B]
+            c_d = outc[0].reshape(D, MANIFOLD_K, B)
+            c_nx = outc[1].reshape(D, MANIFOLD_K, B)
+            c_ny = outc[2].reshape(D, MANIFOLD_K, B)
+            c_nz = outc[3].reshape(D, MANIFOLD_K, B)
+            c_px = outc[4].reshape(D, MANIFOLD_K, B)
+            c_py = outc[5].reshape(D, MANIFOLD_K, B)
+            c_pz = outc[6].reshape(D, MANIFOLD_K, B)
+            c_d = jnp.where(c_d < -1e29, -jnp.inf, c_d)
+        else:
+            cand = _grid_cells_at(cmap, ccx.reshape(-1), ccz.reshape(-1))  # [L, D*B]
+            L = cand.shape[0]
+            cand = cand.reshape(L, D, B).transpose(1, 0, 2)  # [D, L, B]
+            c = _tri_comps(cmap, cand)
+            cand_ok = (cand >= 0) & jnp.take(cmap.tri_valid, jnp.clip(cand, 0, None)) & on[:, None, :]
+            e = lambda a: a[:, None, :]  # [D, B] -> [D, 1, B]
+            qtx, qty, qtz = g.closest_point_on_triangle_soa(
+                e(ccx), e(ccy), e(ccz), c[0], c[1], c[2], c[3], c[4], c[5], c[6], c[7], c[8]
+            )
+            dx_, dy_, dz_ = e(ccx) - qtx, e(ccy) - qty, e(ccz) - qtz
+            rnx, rny, rnz, dist = g.normalize3(dx_, dy_, dz_)
+            fnx, fny, fnz = c[9], c[10], c[11]
+            side = jnp.sign(
+                g.dot3(e(ccx) - c[0], e(ccy) - c[1], e(ccz) - c[2], fnx, fny, fnz)
+            )
+            side = jnp.where(side == 0, 1.0, side)
+            flip = jnp.sign(g.dot3(rnx, rny, rnz, fnx, fny, fnz)) * side
+            flip = jnp.where(flip == 0, 1.0, flip)
+            cnx = jnp.where(dist > 1e-6, rnx * flip, fnx * side)
+            cny = jnp.where(dist > 1e-6, rny * flip, fny * side)
+            cnz = jnp.where(dist > 1e-6, rnz * flip, fnz * side)
+            signed = g.dot3(dx_, dy_, dz_, cnx, cny, cnz)
+            r_sup = g.box_support_soa(e(dqx), e(dqy), e(dqz), e(dqw), e(dhx * 1.0), e(dhy * 1.0), e(dhz * 1.0), cnx, cny, cnz)
+            depth = jnp.where(cand_ok, r_sup - signed, -jnp.inf)  # [D, L, B]
+
+            # top-K manifold via iterative argmax along L
+            sel = [[] for _ in range(7)]
+            dwork = depth
+            for _k in range(MANIFOLD_K):
+                i = jnp.argmax(dwork, axis=1)  # [D, B]
+                tk = lambda a: jnp.take_along_axis(a, i[:, None, :], axis=1)[:, 0, :]
+                for li, a_ in enumerate((dwork, cnx, cny, cnz, qtx, qty, qtz)):
+                    sel[li].append(tk(a_))
+                dwork = jnp.where(
+                    jnp.arange(L)[None, :, None] == i[:, None, :], -jnp.inf, dwork
+                )
+            c_d, c_nx, c_ny, c_nz, c_px, c_py, c_pz = (jnp.stack(x, 1) for x in sel)
+        active = c_d > 0.0
+
+        def solver_iter(_, vo):
+            dvx, dvy, dvz, dwx, dwy, dwz = vo
+            e2 = lambda a: a[:, None, :]
+            rx_ = c_px - e2(ccx)
+            ry_ = c_py - e2(ccy)
+            rz_ = c_pz - e2(ccz)
+            # v_pt = v + w x r
+            vptx = e2(dvx) + e2(dwy) * rz_ - e2(dwz) * ry_
+            vpty = e2(dvy) + e2(dwz) * rx_ - e2(dwx) * rz_
+            vptz = e2(dvz) + e2(dwx) * ry_ - e2(dwy) * rx_
+            vn = g.dot3(vptx, vpty, vptz, c_nx, c_ny, c_nz)
+            rxnx, rxny, rxnz = g.cross3(rx_, ry_, rz_, c_nx, c_ny, c_nz)
+            ax_, ay_, az_ = rot_inv_apply(
+                e2(dqx), e2(dqy), e2(dqz), e2(dqw), e2(iIx), e2(iIy), e2(iIz), rxnx, rxny, rxnz
+            )
+            axr_x, axr_y, axr_z = g.cross3(ax_, ay_, az_, rx_, ry_, rz_)
+            k_n = d_inv_m[:, None, :] + g.dot3(axr_x, axr_y, axr_z, c_nx, c_ny, c_nz)
+            jn = jnp.where(active & (vn < 0), -vn / jnp.maximum(k_n, 1e-9), 0.0) * RELAX
+            impx, impy, impz = c_nx * jn, c_ny * jn, c_nz * jn
+            dvx = dvx + jnp.sum(impx, 1) * d_inv_m
+            dvy = dvy + jnp.sum(impy, 1) * d_inv_m
+            dvz = dvz + jnp.sum(impz, 1) * d_inv_m
+            tqx, tqy, tqz = g.cross3(rx_, ry_, rz_, impx, impy, impz)
+            wx_, wy_, wz_ = rot_inv_apply(
+                e2(dqx), e2(dqy), e2(dqz), e2(dqw), e2(iIx), e2(iIy), e2(iIz), tqx, tqy, tqz
+            )
+            dwx = dwx + jnp.sum(wx_, 1)
+            dwy = dwy + jnp.sum(wy_, 1)
+            dwz = dwz + jnp.sum(wz_, 1)
+
+            # friction
+            vptx = e2(dvx) + e2(dwy) * rz_ - e2(dwz) * ry_
+            vpty = e2(dvy) + e2(dwz) * rx_ - e2(dwx) * rz_
+            vptz = e2(dvz) + e2(dwx) * ry_ - e2(dwy) * rx_
+            vn2 = g.dot3(vptx, vpty, vptz, c_nx, c_ny, c_nz)
+            vtx = vptx - c_nx * vn2
+            vty = vpty - c_ny * vn2
+            vtz = vptz - c_nz * vn2
+            tdx, tdy, tdz, vt_mag = g.normalize3(vtx, vty, vtz)
+            rxtx, rxty, rxtz = g.cross3(rx_, ry_, rz_, tdx, tdy, tdz)
+            at_x, at_y, at_z = rot_inv_apply(
+                e2(dqx), e2(dqy), e2(dqz), e2(dqw), e2(iIx), e2(iIy), e2(iIz), rxtx, rxty, rxtz
+            )
+            atr_x, atr_y, atr_z = g.cross3(at_x, at_y, at_z, rx_, ry_, rz_)
+            k_t = d_inv_m[:, None, :] + g.dot3(atr_x, atr_y, atr_z, tdx, tdy, tdz)
+            jt_needed = vt_mag / jnp.maximum(k_t, 1e-9)
+            jt = jnp.where(active, jnp.minimum(jt_needed, d_mu[:, None, :] * jnp.maximum(jn, 0.0)), 0.0)
+            fx, fy, fz = -tdx * jt * RELAX, -tdy * jt * RELAX, -tdz * jt * RELAX
+            dvx = dvx + jnp.sum(fx, 1) * d_inv_m
+            dvy = dvy + jnp.sum(fy, 1) * d_inv_m
+            dvz = dvz + jnp.sum(fz, 1) * d_inv_m
+            tqx, tqy, tqz = g.cross3(rx_, ry_, rz_, fx, fy, fz)
+            wx_, wy_, wz_ = rot_inv_apply(
+                e2(dqx), e2(dqy), e2(dqz), e2(dqw), e2(iIx), e2(iIy), e2(iIz), tqx, tqy, tqz
+            )
+            dwx = dwx + jnp.sum(wx_, 1)
+            dwy = dwy + jnp.sum(wy_, 1)
+            dwz = dwz + jnp.sum(wz_, 1)
+            return dvx, dvy, dvz, dwx, dwy, dwz
+
+        dvx, dvy, dvz, dwx, dwy, dwz = jax.lax.fori_loop(
+            0, SOLVER_ITERS, solver_iter, (dvx, dvy, dvz, dwx, dwy, dwz)
+        )
+
+        over = jnp.maximum(c_d - PENETRATION_SLOP, 0.0) * BAUMGARTE
+        dpx = dpx + jnp.sum(c_nx * over, 1)
+        dpy = dpy + jnp.sum(c_ny * over, 1)
+        dpz = dpz + jnp.sum(c_nz * over, 1)
+
+        # ---------------------------------- vs other actors [D, N, B]
+        ccx2, ccy2, ccz2 = g.quat_rotate_soa(dqx, dqy, dqz, dqw, dcx, dcy, dcz)
+        ccx2, ccy2, ccz2 = ccx2 + dpx, ccy2 + dpy, ccz2 + dpz
+        e3 = lambda a: a[:, None, :]  # [D, B] -> [D, 1, B]
+        o = lambda a: a[None, :, :]  # [N, B] -> [1, N, B]
+        pvx_ = e3(ccx2) - o(o_cx)
+        pvy_ = e3(ccy2) - o(o_cy)
+        pvz_ = e3(ccz2) - o(o_cz)
+        pnx, pny, pnz, pdist = g.normalize3(pvx_, pvy_, pvz_)
+        r_i = g.box_support_soa(e3(dqx), e3(dqy), e3(dqz), e3(dqw), e3(dhx * 1.0), e3(dhy * 1.0), e3(dhz * 1.0), pnx, pny, pnz)
+        r_j = g.box_support_soa(o(oqx), o(oqy), o(oqz), o(oqw), o(ohx * 1.0), o(ohy * 1.0), o(ohz * 1.0), -pnx, -pny, -pnz)
+        not_self = (sl[:, None] != jnp.arange(n)[None, :])[:, :, None]
+        pair_ok = e3(on) & o(o_solid) & not_self
+        pdepth = jnp.where(pair_ok, 0.8 * (r_i + r_j) - pdist, -jnp.inf)
+        pactive = pdepth > 0.0
+
+        def pair_iter(_, dv):
+            dvx, dvy, dvz = dv
+            # target velocity: dynamic targets read their dyn lane, others 0
+            tvx = jnp.where((a2d >= 0)[:, None], dvx[jnp.clip(a2d, 0, None)], ovx)
+            tvy = jnp.where((a2d >= 0)[:, None], dvy[jnp.clip(a2d, 0, None)], ovy)
+            tvz = jnp.where((a2d >= 0)[:, None], dvz[jnp.clip(a2d, 0, None)], ovz)
+            rel = (
+                (e3(dvx) - o(tvx)) * pnx
+                + (e3(dvy) - o(tvy)) * pny
+                + (e3(dvz) - o(tvz)) * pnz
+            )
+            k = d_inv_m[:, None, :] + o(o_inv_m)
+            jn = jnp.where(pactive & (rel < 0), -rel / jnp.maximum(k, 1e-9), 0.0) * 0.5
+            dvx = dvx + jnp.sum(pnx * jn, 1) * d_inv_m
+            dvy = dvy + jnp.sum(pny * jn, 1) * d_inv_m
+            dvz = dvz + jnp.sum(pnz * jn, 1) * d_inv_m
+            # reaction onto dynamic targets
+            rxs = -jnp.sum(pnx * jn, 0)  # [N, B]
+            rys = -jnp.sum(pny * jn, 0)
+            rzs = -jnp.sum(pnz * jn, 0)
+            dvx = dvx + rxs[slc] * d_inv_m
+            dvy = dvy + rys[slc] * d_inv_m
+            dvz = dvz + rzs[slc] * d_inv_m
+            return dvx, dvy, dvz
+
+        dvx, dvy, dvz = jax.lax.fori_loop(0, 2, pair_iter, (dvx, dvy, dvz))
+        pushx = jnp.sum(jnp.where(pactive, pnx * 0.3 * pdepth, 0.0), 1)
+        pushy = jnp.sum(jnp.where(pactive, pny * 0.3 * pdepth, 0.0), 1)
+        pushz = jnp.sum(jnp.where(pactive, pnz * 0.3 * pdepth, 0.0), 1)
+        dpx = jnp.where(on, dpx + pushx, dpx)
+        dpy = jnp.where(on, dpy + pushy, dpy)
+        dpz = jnp.where(on, dpz + pushz, dpz)
+
+        # -------------------------------------------------- vs player [D, B]
+        ccx3, ccy3, ccz3 = g.quat_rotate_soa(dqx, dqy, dqz, dqw, dcx, dcy, dcz)
+        ccx3, ccy3, ccz3 = ccx3 + dpx, ccy3 + dpy, ccz3 + dpz
+        sy0 = ppy - CAPSULE_HALF_HEIGHT
+        sy1 = ppy + CAPSULE_HALF_HEIGHT
+        qpx, qpy, qpz = g.closest_point_on_vseg_soa(ccx3, ccy3, ccz3, ppx[None], sy0[None], sy1[None], ppz[None])
+        dxp, dyp, dzp = ccx3 - qpx, ccy3 - qpy, ccz3 - qpz
+        pnx2, pny2, pnz2, pd = g.normalize3(dxp, dyp, dzp)
+        rs = g.box_support_soa(dqx, dqy, dqz, dqw, dhx * 1.0, dhy * 1.0, dhz * 1.0, pnx2, pny2, pnz2)
+        cdepth = jnp.where(on, 0.9 * rs + CAPSULE_RADIUS - pd, -jnp.inf)
+        inv_m_player = 1.0 / CHARACTER_MASS
+        rel_v = (dvx - pvx[None]) * pnx2 + (dvy - pvy[None]) * pny2 + (dvz - pvz[None]) * pnz2
+        jn = jnp.where((cdepth > 0) & (rel_v < 0), -rel_v / (d_inv_m + inv_m_player + 1e-9), 0.0)
+        dvx = dvx + pnx2 * jn * d_inv_m
+        dvy = dvy + pny2 * jn * d_inv_m
+        dvz = dvz + pnz2 * jn * d_inv_m
+        pp = jnp.maximum(cdepth - PENETRATION_SLOP, 0.0) * 0.5 * ((cdepth > PENETRATION_SLOP) & on)
+        dpx = dpx + pnx2 * pp
+        dpy = dpy + pny2 * pp
+        dpz = dpz + pnz2 * pp
+
+        return (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz), None
+
+    init = (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz)
+    (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz), _ = jax.lax.scan(
+        substep, init, None, length=n_substeps
+    )
+
+    # scatter dynamic lanes back ([D, B] -> [B, N, 3])
+    dpos_new = jnp.stack([dpx, dpy, dpz], -1).transpose(1, 0, 2)  # [B, D, 3]
+    dquat_new = jnp.stack([dqx, dqy, dqz, dqw], -1).transpose(1, 0, 2)
+    dvel_new = jnp.stack([dvx, dvy, dvz], -1).transpose(1, 0, 2)
+    domega_new = jnp.stack([dwx, dwy, dwz], -1).transpose(1, 0, 2)
+
+    sl_w = jnp.where(d_on, slc[None, :], n)  # [B, D]
+    bidx = jnp.arange(B)[:, None]
+    pos = k_pos.at[bidx, sl_w].set(dpos_new, mode="drop")
+    quat = actors.quat.at[bidx, sl_w].set(dquat_new, mode="drop")
+    vel = actors.vel.at[bidx, sl_w].set(dvel_new, mode="drop")
+    omega = actors.omega.at[bidx, sl_w].set(domega_new, mode="drop")
+    return pos, quat, vel, omega

@@ -1,11 +1,15 @@
 import os
 
-# Hermetic CPU tests with a virtual 8-device mesh (SURVEY.md §4): must be set
-# before jax initializes.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hermetic CPU tests with a virtual 8-device mesh (SURVEY.md §4). The axon
+# TPU plugin ignores the JAX_PLATFORMS env var, so force the platform via
+# jax.config before any backend initializes.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

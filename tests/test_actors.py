@@ -87,7 +87,9 @@ def test_button_counter_light_chain(rig, sfn):
     assert np.allclose(np.asarray(st.env.light_color), [1, 1, 1, 1])
     # walk near the button and face it, then press E
     st = walk_to(rig, sfn, st, (0, -5.2))
-    # face -Z (button at z=-6): aim yaw so forward ~ -Z
+    # face -Z (button at z=-6, centered at y=-0.5) and pitch down to aim at
+    # it (the camera sits 0.25 above the capsule center)
+    st = st.replace(player=st.player.replace(yaw=jnp.float32(0.0), pitch=jnp.float32(-0.25)))
     i_btn = idx_of(rig, "BUTTON")
     # press E until the interaction lands (needs facing + range)
     a = Actions.zeros()
@@ -131,9 +133,9 @@ def test_held_actor_spring(rig, sfn):
     st = run(rig, sfn, st, 30)
     i_pb = idx_of(rig, "PHYSBOX")
     st = walk_to(rig, sfn, st, (3.0, 0.0))
-    # face the box (at x=4): aim yaw: forward -Z at yaw 0; need +X ->
-    # forward=(-sin,-cos)*? set yaw = -pi/2 -> forward=(+1, 0)
-    st = st.replace(player=st.player.replace(yaw=jnp.float32(-np.pi / 2)))
+    # face the box (at x=4, resting near y=-0.8): yaw -pi/2 -> forward +X,
+    # pitch down to hit the low box
+    st = st.replace(player=st.player.replace(yaw=jnp.float32(-np.pi / 2), pitch=jnp.float32(-0.35)))
     a = Actions.zeros()
     press = a.replace(buttons=a.buttons.at[Button.INTERACT].set(True))
     st = sfn(st, press)
