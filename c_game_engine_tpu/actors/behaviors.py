@@ -68,12 +68,11 @@ def contact_phase(cmap, state, fired, fired_pi):
     persisted_s = overlap & prev
     removed_s = ~overlap & prev
 
-    # per-actor masks (scatter by owner; each actor owns <= 1 sensor)
-    owner = jnp.clip(cmap.sensor_owner, 0, n - 1)
+    # per-actor masks (dense sensor->owner one-hot; scatters are slow on TPU)
+    owner_mat = cmap.sensor_owner[:, None] == jnp.arange(n)[None, :]  # [S, N]
 
     def to_actor(mask_s):
-        out = jnp.zeros(n, bool)
-        return out.at[owner].max(mask_s & (cmap.sensor_owner >= 0))
+        return jnp.any(owner_mat & mask_s[:, None], axis=0)
 
     added = to_actor(added_s) & actors.active
     persisted = to_actor(persisted_s) & actors.active

@@ -96,26 +96,31 @@ def apply_round(cmap, state, fired, fired_pi, queue):
     q = queue
 
     live = jnp.arange(q.target.shape[0]) < q.count
-    tgt = jnp.where(live, q.target, n)  # out-of-bounds -> dropped
+    tgt = jnp.where(live, q.target, -1)
 
-    # per-(actor, input) received mask; params scatter last-wins
+    # Dense event->actor one-hot [Q, N] (scatters are slow on TPU; this is
+    # reused by every recv below). Game content never queues two events with
+    # the same (target, input) in one round, so "sum over events" ==
+    # "the event's value".
+    onehot = (tgt[:, None] == jnp.arange(n)[None, :]) & live[:, None]  # [Q, N]
+
     def recv(input_id):
-        ev = live & (q.input == int(input_id))
-        t_w = jnp.where(ev, tgt, n)
-        m = jnp.zeros(n, bool).at[t_w].set(True, mode="drop")
+        ev = q.input == int(input_id)
+        m = jnp.any(onehot & ev[:, None], axis=0)
         return m & actors.active
 
     def recv_param(input_id, want_types=()):
-        ev = live & (q.input == int(input_id))
+        ev = q.input == int(input_id)
         if want_types:
             tok = jnp.zeros_like(ev)
             for wt in want_types:
                 tok = tok | (q.ptype == int(wt))
             ev = ev & tok
-        t_w = jnp.where(ev, tgt, n)
-        m = jnp.zeros(n, bool).at[t_w].set(True, mode="drop")
-        pf = jnp.zeros((n, 4)).at[t_w].set(q.pf, mode="drop")
-        pi = jnp.zeros(n, jnp.int32).at[t_w].set(q.pi, mode="drop")
+        sel = onehot & ev[:, None]  # [Q, N]
+        m = jnp.any(sel, axis=0)
+        self_f = sel.astype(jnp.float32)
+        pf = jnp.einsum("qn,qk->nk", self_f, q.pf)
+        pi = jnp.sum(sel * q.pi[:, None], axis=0).astype(jnp.int32)
         return m & actors.active, pf, pi
 
     def m_cls(mask, *classes):
@@ -156,9 +161,10 @@ def apply_round(cmap, state, fired, fired_pi, queue):
     laser_off = m_cls(off_m, ActorClass.LASER)
     em_on = m_cls(on_m, ActorClass.LASER_EMITTER)
     em_off = m_cls(off_m, ActorClass.LASER_EMITTER)
-    child = jnp.clip(cmap.siparams[:, 2], 0, n)  # emitter -> laser slot
-    child_on = jnp.zeros(n, bool).at[jnp.where(em_on, child, n)].set(True, mode="drop")
-    child_off = jnp.zeros(n, bool).at[jnp.where(em_off, child, n)].set(True, mode="drop")
+    child = cmap.siparams[:, 2]  # emitter -> laser slot
+    child_mat = child[:, None] == jnp.arange(n)[None, :]  # [N, N], static-ish
+    child_on = jnp.any(child_mat & em_on[:, None], axis=0)
+    child_off = jnp.any(child_mat & em_off[:, None], axis=0)
     turn_on = laser_on | (child_on & (cls == int(ActorClass.LASER)))
     turn_off = laser_off | (child_off & (cls == int(ActorClass.LASER)))
     actors = actors.replace(
@@ -300,8 +306,8 @@ def apply_round(cmap, state, fired, fired_pi, queue):
         - jnp.where(ev_dec, 1, 0)
     )
     ev_any = ev_add | ev_sub | ev_inc | ev_dec
-    change = jnp.zeros(n, jnp.int32).at[jnp.where(ev_any, tgt, n)].add(delta_ev, mode="drop")
-    touched = jnp.zeros(n, bool).at[jnp.where(ev_any, tgt, n)].set(True, mode="drop")
+    change = jnp.sum(onehot * jnp.where(ev_any, delta_ev, 0)[:, None], axis=0).astype(jnp.int32)
+    touched = jnp.any(onehot & ev_any[:, None], axis=0)
     counter_m = touched & is_cnt & actors.active
     prev = actors.idata[:, 0]
     cmin, cmax = cmap.siparams[:, 0], cmap.siparams[:, 1]

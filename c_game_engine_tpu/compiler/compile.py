@@ -309,8 +309,23 @@ def compile_map(
         spawn_yaw = np.float32(0)
         spawn_pitch = np.float32(0)
 
+    # longest signal chain: how many rounds process_signals needs per tick
+    # (edges whose target can fire an output consumed by another edge)
+    depth = 1 if e_real else 0
+    src_set = set(edge_src[:e_real])
+    frontier = set(edge_dst[k] for k in range(e_real))
+    seen_depth = 0
+    while depth < 4:
+        nxt = {edge_dst[k] for k in range(e_real) if edge_src[k] in frontier}
+        if not (frontier & src_set):
+            break
+        depth += 1
+        frontier = nxt
+    signal_rounds = max(depth, 1)
+
     aux = {
         "name": name,
+        "signal_rounds": signal_rounds,
         "actor_names": [r.name for r in rows],
         "actor_classes": [ActorClass(r.cls).name for r in rows],
         "texture_names": list(ctx.texture_ids.keys()),

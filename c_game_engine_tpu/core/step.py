@@ -306,7 +306,8 @@ def step_batch(cmap, state: EnvState, actions: Actions) -> EnvState:
     )(state, fired, fired_pi, camera_pos, laser_hit, laser_len)
 
     # ---------------------------------------------- signal propagation (vmap)
-    state = jax.vmap(lambda s, f, fp: signals.process_signals(cmap, s, f, fp, rounds=4))(
+    rounds = cmap.aux.get("signal_rounds", 4) if cmap.aux else 4
+    state = jax.vmap(lambda s, f, fp: signals.process_signals(cmap, s, f, fp, rounds=rounds))(
         state, fired, fired_pi
     )
 

@@ -97,7 +97,9 @@ def _chunk_best(px, py, pz, sy0, sy1, tri):
     tvalid = col(12)
 
     qx, qy, qz = _closest_on_tri(px, py, pz, ax, ay, az, bx, by, bz, cx, cy, cz)
-    for _ in range(3):
+    # 2 alternating-projection rounds: exact for face contacts (the capsule
+    # axis is vertical), within epsilon for edge contacts
+    for _ in range(2):
         spy = jnp.clip(qy, sy0, sy1)
         qx, qy, qz = _closest_on_tri(px, spy, pz, ax, ay, az, bx, by, bz, cx, cy, cz)
     spy = jnp.clip(qy, sy0, sy1)

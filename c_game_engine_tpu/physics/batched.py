@@ -202,16 +202,30 @@ def update_character_batched(cmap, actors, pos, vel, dt, was_on_ground, jumping,
         _make_pallas_ctx(cmap, solid_ctx) if jax.default_backend() == "tpu" else None
     )
     new_pos = pos + vel * dt
+    lifted = new_pos + jnp.array([0.0, STEP_UP, 0.0])
 
-    p, v, grounded = _resolve_dispatch(cmap, new_pos, vel, solid_ctx, pallas_ctx)
+    if pallas_ctx is not None:
+        # main + step-up resolves fused into one double-batch kernel call
+        tri16, box8, boxh = pallas_ctx
+        ctx2 = (tri16, jnp.tile(box8, (1, 1, 2)), jnp.tile(boxh, (1, 1, 2)))
+        p12, v12, g12 = _resolve_dispatch(
+            cmap,
+            jnp.concatenate([new_pos, lifted], 0),
+            jnp.concatenate([vel, vel], 0),
+            solid_ctx,
+            ctx2,
+        )
+        p, v, grounded = p12[:B], v12[:B], g12[:B]
+        p2, v2, g2 = p12[B:], v12[B:], g12[B:]
+    else:
+        p, v, grounded = _resolve_dispatch(cmap, new_pos, vel, solid_ctx, None)
+        p2, v2, g2 = _resolve_dispatch(cmap, lifted, vel, solid_ctx, None)
 
     # stair step-up
     horiz = jnp.array([1.0, 0.0, 1.0])
     h_in = jnp.linalg.norm(vel * horiz, axis=-1)
     h_out = jnp.linalg.norm(v * horiz, axis=-1)
     blocked = (h_in > 1e-4) & (h_out < 0.9 * h_in)
-    lifted = new_pos + jnp.array([0.0, STEP_UP, 0.0])
-    p2, v2, g2 = _resolve_dispatch(cmap, lifted, vel, solid_ctx, pallas_ctx)
     h2 = jnp.linalg.norm(v2 * horiz, axis=-1)
     use_step = blocked & (h2 > h_out + 1e-4)
     p = jnp.where(use_step[:, None], p2, p)
@@ -252,16 +266,31 @@ def cast_rays_batched(
     ox, oy, oz = origin[:, 0], origin[:, 1], origin[:, 2]
     dx, dy, dz = direction[:, 0], direction[:, 1], direction[:, 2]
 
-    # ---- static triangles: [T, R] ----
-    ts = cmap.tri_soa
-    col = lambda k: ts[k][:, None]
-    hit_t, t_t = g.ray_tri_soa(
-        ox[None], oy[None], oz[None], dx[None], dy[None], dz[None],
-        col(0), col(1), col(2), col(3), col(4), col(5), col(6), col(7), col(8),
-        max_dist,
-    )
-    t_t = jnp.where(cmap.tri_valid[:, None], t_t, jnp.inf)
-    t_static = jnp.min(t_t, axis=0)  # [R]
+    # ---- static triangles ----
+    if jax.default_backend() == "tpu":
+        from c_game_engine_tpu.ops.capsule_resolve import T_CHUNK
+        from c_game_engine_tpu.ops.ray_tris import ray_tris_pallas
+
+        T = cmap.tri_soa.shape[1]
+        tri16 = jnp.concatenate(
+            [cmap.tri_soa.T, cmap.tri_valid[:, None].astype(jnp.float32), jnp.zeros((T, 3), jnp.float32)],
+            axis=1,
+        )
+        t_pad = (-T) % T_CHUNK
+        if t_pad:
+            tri16 = jnp.concatenate([tri16, jnp.zeros((t_pad, 16), jnp.float32)], 0)
+        t_static = ray_tris_pallas(tri16, origin, direction, max_dist)
+        t_static = jnp.where(t_static > 1e29, jnp.inf, t_static)
+    else:
+        ts = cmap.tri_soa
+        col = lambda k: ts[k][:, None]
+        hit_t, t_t = g.ray_tri_soa(
+            ox[None], oy[None], oz[None], dx[None], dy[None], dz[None],
+            col(0), col(1), col(2), col(3), col(4), col(5), col(6), col(7), col(8),
+            max_dist,
+        )
+        t_t = jnp.where(cmap.tri_valid[:, None], t_t, jnp.inf)
+        t_static = jnp.min(t_t, axis=0)  # [R]
 
     # ---- actor boxes: [N, R] ----
     B = B_env if B_env is not None else R

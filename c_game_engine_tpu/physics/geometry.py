@@ -67,7 +67,7 @@ def closest_point_on_segment(p, s0, s1):
     return s0 + d * t[..., None]
 
 
-def capsule_triangle_closest(s0, s1, a, b, c, iters: int = 3):
+def capsule_triangle_closest(s0, s1, a, b, c, iters: int = 2):
     """Approximate closest points between segment [s0,s1] and triangle
     (a,b,c) by alternating projections. Returns (point_on_segment,
     point_on_triangle). Converges exactly for the face case and is within

@@ -98,7 +98,7 @@ def closest_point_on_vseg_soa(px, py, pz, sx, sy0, sy1, sz):
 
 
 def capsule_tri_contact_soa(
-    s_x, s_y0, s_y1, s_z, ax, ay, az, bx, by, bz, cx, cy, cz, nx, ny, nz, radius, iters=3
+    s_x, s_y0, s_y1, s_z, ax, ay, az, bx, by, bz, cx, cy, cz, nx, ny, nz, radius, iters=2
 ):
     """Deepest-point contact between a vertical capsule axis segment and a
     triangle with face normal (nx,ny,nz). Returns (depth_minus_radius_term,
