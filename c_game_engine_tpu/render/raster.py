@@ -38,6 +38,7 @@ from c_game_engine_tpu.utils.mathx import (
 )
 
 CHUNK = 64
+CULL_MODE = "neg"  # neg | pos | none (debug)
 MAGIC_XY = jnp.array([0.06711056, 0.00583715])
 MAGIC_Z = 52.9829189
 
@@ -259,7 +260,12 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0):
     ) * (sx[:, 2] - sx[:, 0])
     # back-face culling (pipeline: cull back, CCW front;
     # VulkanPipelines.c:21-85); two-sided geometry skips the cull
-    front = (area2 < 0.0) | tri["twosided"]
+    if CULL_MODE == "neg":
+        front = (area2 < 0.0) | tri["twosided"]
+    elif CULL_MODE == "pos":
+        front = (area2 > 0.0) | tri["twosided"]
+    else:
+        front = jnp.ones_like(tri["twosided"])
     tri_ok = tri["valid"] & ok_w & front & (jnp.abs(area2) > 1e-9)
 
     px = jnp.arange(width, dtype=jnp.float32) + 0.5

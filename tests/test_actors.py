@@ -85,11 +85,15 @@ def test_button_counter_light_chain(rig, sfn):
     st = reset(rig)
     st = run(rig, sfn, st, 30)
     assert np.allclose(np.asarray(st.env.light_color), [1, 1, 1, 1])
-    # walk near the button and face it, then press E
-    st = walk_to(rig, sfn, st, (0, -5.2))
-    # face -Z (button at z=-6, centered at y=-0.5) and pitch down to aim at
-    # it (the camera sits 0.25 above the capsule center)
-    st = st.replace(player=st.player.replace(yaw=jnp.float32(0.0), pitch=jnp.float32(-0.25)))
+    # stand in front of the button (at z=-6, centered y=-0.5), face -Z and
+    # pitch down to aim (the camera sits 0.25 above the capsule center);
+    # exact placement matters (the button face is 0.15 x 0.2) so teleport
+    st = st.replace(
+        player=st.player.replace(
+            pos=jnp.array([0.0, -0.55, -5.2]), yaw=jnp.float32(0.0), pitch=jnp.float32(-0.25)
+        )
+    )
+    st = run(rig, sfn, st, 2)
     i_btn = idx_of(rig, "BUTTON")
     # press E until the interaction lands (needs facing + range)
     a = Actions.zeros()
@@ -132,10 +136,14 @@ def test_held_actor_spring(rig, sfn):
     st = reset(rig)
     st = run(rig, sfn, st, 30)
     i_pb = idx_of(rig, "PHYSBOX")
-    st = walk_to(rig, sfn, st, (3.0, 0.0))
-    # face the box (at x=4, resting near y=-0.8): yaw -pi/2 -> forward +X,
-    # pitch down to hit the low box
-    st = st.replace(player=st.player.replace(yaw=jnp.float32(-np.pi / 2), pitch=jnp.float32(-0.35)))
+    # stand next to the box (at x=4, resting near y=-0.8): yaw -pi/2 ->
+    # forward +X, pitch down to hit the low box
+    st = st.replace(
+        player=st.player.replace(
+            pos=jnp.array([3.0, -0.55, 0.0]), yaw=jnp.float32(-np.pi / 2), pitch=jnp.float32(-0.35)
+        )
+    )
+    st = run(rig, sfn, st, 2)
     a = Actions.zeros()
     press = a.replace(buttons=a.buttons.at[Button.INTERACT].set(True))
     st = sfn(st, press)

@@ -1,0 +1,98 @@
+"""Renderer unit tests: texture sampling, camera math, shading formula.
+
+Full-frame golden tests run on TPU via benchmarks/render_goldens.py; here we
+unit-test the pieces on CPU with tiny shapes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from c_game_engine_tpu.render.textures import TextureAtlas, build_atlas, sample
+from c_game_engine_tpu.utils.mathx import perspective_lh_zo, quat_look, quat_from_axis_angle, quat_mul
+
+
+class _Tex:
+    def __init__(self, px, repeat=True, filter=False):
+        self.pixels = px
+        self.height, self.width = px.shape[:2]
+        self.repeat = repeat
+        self.filter = filter
+        self.mipmaps = False
+
+
+def test_atlas_nearest_sampling():
+    px = np.zeros((4, 4, 4), np.float32)
+    px[0, 0] = [1, 0, 0, 1]
+    px[3, 3] = [0, 1, 0, 1]
+    atlas = build_atlas([_Tex(px)])
+    c = np.asarray(sample(atlas, jnp.int32(0), jnp.array([0.125, 0.125])))
+    assert np.allclose(c, [1, 0, 0, 1])
+    c = np.asarray(sample(atlas, jnp.int32(0), jnp.array([0.875, 0.875])))
+    assert np.allclose(c, [0, 1, 0, 1])
+
+
+def test_atlas_repeat_wraps():
+    px = np.zeros((2, 2, 4), np.float32)
+    px[0, 0] = [1, 1, 1, 1]
+    atlas = build_atlas([_Tex(px, repeat=True)])
+    a = np.asarray(sample(atlas, jnp.int32(0), jnp.array([0.25, 0.25])))
+    b = np.asarray(sample(atlas, jnp.int32(0), jnp.array([2.25, -0.75])))
+    assert np.allclose(a, b)
+
+
+def test_atlas_bilinear_midpoint():
+    px = np.zeros((1, 2, 4), np.float32)
+    px[0, 0] = [0, 0, 0, 1]
+    px[0, 1] = [1, 1, 1, 1]
+    atlas = build_atlas([_Tex(px, repeat=False, filter=True)])
+    c = np.asarray(sample(atlas, jnp.int32(0), jnp.array([0.5, 0.5])))
+    assert np.allclose(c[:3], [0.5, 0.5, 0.5], atol=1e-5)
+
+
+def test_perspective_matrix_matches_glm_lh_zo():
+    """Spot values of glm_perspective_lh_zo (VulkanHelpers.c:142-147)."""
+    m = np.asarray(perspective_lh_zo(jnp.deg2rad(90.0), 1.0, 0.01, 2000.0))
+    assert np.isclose(m[0, 0], 1.0, atol=1e-5)  # cot(45deg)
+    assert np.isclose(m[1, 1], 1.0, atol=1e-5)
+    assert np.isclose(m[3, 2], 1.0)  # LH: +z forward after the rotX(pi) flip
+    # depth maps near->0, far->1
+    near = m @ np.array([0, 0, 0.01, 1.0])
+    far = m @ np.array([0, 0, 2000.0, 1.0])
+    assert abs(near[2] / near[3]) < 1e-4
+    assert np.isclose(far[2] / far[3], 1.0, atol=1e-4)
+
+
+def test_camera_view_faces_negative_z():
+    """At yaw 0 the player faces -Z (MovePlayer); after the rotX(pi)
+    pre-rotation the view transform must map -Z world to +Z view (in front
+    of the LH camera)."""
+    flip = quat_from_axis_angle(jnp.array([1.0, 0.0, 0.0]), jnp.pi)
+    rot = quat_mul(jnp.array([0.0, 0.0, 0.0, 1.0]), flip)
+    view = np.asarray(quat_look(jnp.zeros(3), rot))
+    p = view @ np.array([0.0, 0.0, -5.0, 1.0])
+    assert p[2] > 0  # in front
+    p2 = view @ np.array([0.0, 0.0, 5.0, 1.0])
+    assert p2[2] < 0  # behind
+
+
+def test_dither_hash_matches_glsl():
+    """The screen-door hash is fract(52.9829189 * fract(dot(xy, (0.06711056,
+    0.00583715)))) (map_shaded_f.gshd)."""
+    from c_game_engine_tpu.render.raster import MAGIC_XY, MAGIC_Z
+
+    x, y = 37.5, 101.5
+    expected = np.modf(52.9829189 * np.modf(x * 0.06711056 + y * 0.00583715)[0])[0]
+    got = float(jnp.modf(MAGIC_Z * jnp.modf(x * MAGIC_XY[0] + y * MAGIC_XY[1])[0])[0])
+    assert np.isclose(got, expected, atol=1e-6)
+
+
+def test_render_bundle_builds(test_map):
+    from c_game_engine_tpu.render.bundle import build_render_bundle
+
+    rb = build_render_bundle(test_map)
+    assert rb.map_pos.shape[0] > 0
+    assert rb.atlas.image.ndim == 3
+    assert int(rb.sky_tex) >= 0  # test.json has a sky
+    assert rb.mdl_pos.shape[0] > 0  # leafy etc.
