@@ -243,8 +243,11 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0):
     # ---- vertex transform ----
     pos_h = jnp.concatenate([tri["pos"], jnp.ones((*tri["pos"].shape[:2], 1))], -1)
     clip = jnp.einsum("ij,tvj->tvi", vp, pos_h)  # [T,3,4]
+
+    # ---- near-plane clipping: 1 triangle -> up to 2 ----
+    clip, tri = _clip_near(clip, tri)
     w = clip[..., 3]
-    ok_w = jnp.all(w > 1e-4, axis=-1)
+    ok_w = jnp.all(w > 1e-5, axis=-1)
     inv_w = 1.0 / jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)
     ndc = clip[..., :3] * inv_w[..., None]
     sx = (ndc[..., 0] + 1.0) * 0.5 * width
@@ -359,6 +362,83 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0):
     # spirit; Vulkan clears to black — use black)
     rgb = jnp.where(has[..., None], rgb, 0.0)
     return jnp.clip(rgb, 0.0, 1.0)
+
+
+def _clip_near(clip, tri, near_w=0.01):
+    """Clip every triangle against the near plane (clip.w > near_w),
+    emitting up to two output triangles per input: [T,3,4] -> [2T,3,4]
+    (+ clipped per-vertex attributes). Vertex order is canonicalized by
+    rotation so winding is preserved."""
+    t = clip.shape[0]
+    w = clip[..., 3]  # [T, 3]
+    inside = w > near_w
+    n_in = jnp.sum(inside.astype(jnp.int32), axis=-1)  # [T]
+
+    # rotation r so the pattern becomes [in,in,in] / [in,in,out] / [in,out,out]
+    out_idx = jnp.argmin(inside.astype(jnp.int32), axis=-1)  # first outside
+    in_idx = jnp.argmax(inside.astype(jnp.int32), axis=-1)  # first inside
+    r = jnp.where(n_in == 2, (out_idx + 1) % 3, jnp.where(n_in == 1, in_idx, 0))
+    order = (r[:, None] + jnp.arange(3)[None, :]) % 3  # [T, 3]
+
+    # per-vertex attribute stack to clip alongside positions
+    attrs = jnp.concatenate([tri["uv"], tri["lmuv"], tri["color"]], axis=-1)  # [T,3,A]
+    a_dim = attrs.shape[-1]
+
+    def rot(x):
+        return jnp.take_along_axis(x, order[..., None], axis=1)
+
+    clip_r = rot(clip)
+    attrs_r = rot(attrs)
+    wr = clip_r[..., 3]
+
+    def isect(i, j):
+        """Intersection of edge v_i -> v_j with the near plane."""
+        wa, wb = wr[:, i], wr[:, j]
+        tt = (near_w - wa) / jnp.where(jnp.abs(wb - wa) > 1e-12, wb - wa, 1e-12)
+        tt = jnp.clip(tt, 0.0, 1.0)[:, None]
+        cp = clip_r[:, i] + (clip_r[:, j] - clip_r[:, i]) * tt
+        ap = attrs_r[:, i] + (attrs_r[:, j] - attrs_r[:, i]) * tt
+        return cp, ap
+
+    e01c, e01a = isect(0, 1)
+    e12c, e12a = isect(1, 2)
+    e20c, e20a = isect(2, 0)
+
+    c3 = (n_in == 3)[:, None, None]
+    c2 = (n_in == 2)[:, None, None]
+    c1 = (n_in == 1)[:, None, None]
+
+    def pick(case3, case2, case1):
+        return jnp.where(c3, case3, jnp.where(c2, case2, jnp.where(c1, case1, case3)))
+
+    out1_c = pick(
+        clip_r,
+        jnp.stack([clip_r[:, 0], clip_r[:, 1], e12c], 1),
+        jnp.stack([clip_r[:, 0], e01c, e20c], 1),
+    )
+    out1_a = pick(
+        attrs_r,
+        jnp.stack([attrs_r[:, 0], attrs_r[:, 1], e12a], 1),
+        jnp.stack([attrs_r[:, 0], e01a, e20a], 1),
+    )
+    out2_c = jnp.stack([clip_r[:, 0], e12c, e20c], 1)
+    out2_a = jnp.stack([attrs_r[:, 0], e12a, e20a], 1)
+
+    valid1 = tri["valid"] & (n_in > 0)
+    valid2 = tri["valid"] & (n_in == 2)
+
+    clip_out = jnp.concatenate([out1_c, out2_c], axis=0)
+    attrs_out = jnp.concatenate([out1_a, out2_a], axis=0)
+    tri_out = dict(tri)
+    dup = lambda x: jnp.concatenate([x, x], axis=0)
+    for k in ("tex", "kind", "shaded", "twosided"):
+        tri_out[k] = dup(tri[k])
+    tri_out["valid"] = jnp.concatenate([valid1, valid2], axis=0)
+    tri_out["uv"] = attrs_out[..., 0:2]
+    tri_out["lmuv"] = attrs_out[..., 2:4]
+    tri_out["color"] = attrs_out[..., 4:8]
+    tri_out["pos"] = dup(tri["pos"])  # world positions unused downstream
+    return clip_out, tri_out
 
 
 def shade(bundle, state, gx, gy, uv, lmuv, color, tex_id, kind, shaded, frag_depth):
