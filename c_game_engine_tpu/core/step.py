@@ -144,8 +144,28 @@ def step_batch(cmap, state: EnvState, actions: Actions) -> EnvState:
     can_interact = (tgt_flags & int(ActorFlags.INTERACTABLE)) != 0
     is_enemy = (tgt_flags & int(ActorFlags.ENEMY)) != 0
 
+    # ---- item scroll switching (MapFixedUpdate, MapPhysics.c:92-99) ----
+    NUM_ITEMS = 2  # eraser, laser stopper
+    owned = state.save.item_mask
+    cur0 = state.save.current_item
+
+    def cycle(cur, direction):
+        c = cur
+        for off in range(1, NUM_ITEMS + 1):
+            cand = jnp.mod(cur + direction * off, NUM_ITEMS)
+            has = (owned >> cand) & 1
+            c = jnp.where((c == cur) & (has == 1), cand, c)
+        return c
+
+    want_next = btn[:, Button.ITEM_NEXT] & allow
+    want_prev = btn[:, Button.ITEM_PREV] & allow
+    cur_item = jnp.where(
+        want_next & (cur0 >= 0), cycle(cur0, 1),
+        jnp.where(want_prev & (cur0 >= 0), cycle(cur0, -1), cur0),
+    )
+    state = state.replace(save=state.save.replace(current_item=cur_item))
+
     # ---- items (EraserItem.c / LaserStopperItem.c FixedUpdate) ----
-    cur_item = state.save.current_item
     fire_pressed = btn[:, Button.FIRE] & allow & ~freecam & ~has_held
     altfire_pressed = btn[:, Button.ALT_FIRE] & allow & ~freecam & ~has_held
     eraser_use = (cur_item == 0) & is_enemy & (targeted >= 0)

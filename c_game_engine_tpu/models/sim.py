@@ -22,10 +22,23 @@ from c_game_engine_tpu.core.state import EnvState, reset
 from c_game_engine_tpu.core.step import step, step_batch as _step_batch
 
 
-def reset_batch(cmap, batch: int) -> EnvState:
-    """Fresh state broadcast over a batch axis."""
+def reset_batch(cmap, batch: int, save=None) -> EnvState:
+    """Fresh state broadcast over a batch axis. Pass `save` (a batched
+    SaveData) to carry hp/coins/items across a map change — the reference
+    keeps SaveData in GlobalState across ChangeMap (GlobalState.h:23-35,
+    ChangeMapByName GlobalState.c:227-248)."""
     single = reset(cmap)
-    return jax.tree.map(lambda x: jnp.broadcast_to(x, (batch, *x.shape)), single)
+    out = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch, *x.shape)), single)
+    if save is not None:
+        out = out.replace(save=save)
+    return out
+
+
+def change_map(new_cmap, old_state: EnvState) -> EnvState:
+    """ChangeMapByName equivalent: fresh state on `new_cmap` carrying the
+    batch's SaveData (items/coins/hp persist; world state resets)."""
+    batch = old_state.tick.shape[0]
+    return reset_batch(new_cmap, batch, save=old_state.save)
 
 
 def step_batch(cmap, state: EnvState, actions: Actions) -> EnvState:

@@ -11,7 +11,8 @@ import numpy as np
 import jax.numpy as jnp
 from flax import struct
 
-from c_game_engine_tpu.assets.codecs import ModelShader
+from c_game_engine_tpu.assets.codecs import ModelShader, decode_gfon
+from c_game_engine_tpu.render.hud import HudAssets
 from c_game_engine_tpu.render.textures import TextureAtlas, build_atlas
 
 MAX_SKINS = 8
@@ -44,6 +45,9 @@ class RenderBundle:
     sky_pos: jnp.ndarray  # [Ts, 3, 3]
     sky_uv: jnp.ndarray  # [Ts, 3, 2]
     sky_tex: jnp.ndarray  # [] i32 (-1 = no sky)
+
+    # HUD assets (render/hud.py)
+    hud: HudAssets
 
     @property
     def num_map_tris(self):
@@ -137,6 +141,49 @@ def build_render_bundle(cmap) -> RenderBundle:
                 sky_uv = verts[tri][:, :, 3:5].astype(np.float32)
                 break
 
+    # ---------------- HUD assets ----------------
+    def intern_or_missing(name):
+        return intern(name) if resolver.resolve(name) else -1
+
+    ycoin = intern_or_missing("texture/interface/hud_ycoin.gtex")
+    bcoin = intern_or_missing("texture/interface/hud_bcoin.gtex")
+    cross = intern_or_missing("texture/interface/crosshair.gtex")
+    font_start = np.full(128, -1.0, np.float32)
+    font_end = np.full(128, -1.0, np.float32)
+    font_w = np.zeros(128, np.float32)
+    font_h = 16.0
+    font_sp = 1.0
+    font_tex = -1
+    font_path = resolver.resolve("font/large_font.gfon")
+    if font_path:
+        f = decode_gfon(font_path)
+        font_tex = intern_or_missing(f.texture)
+        font_h = float(f.texture_height)
+        font_sp = float(f.char_spacing)
+        for i, ch in enumerate(f.chars):
+            ci = ord(ch)
+            if ci < 128:
+                font_start[ci] = f.start_uvs[i]
+                font_end[ci] = f.end_uvs[i]
+                font_w[ci] = f.widths[i]
+        if f.uppercase_only:
+            for lo in range(ord("a"), ord("z") + 1):
+                up = lo - 32
+                font_start[lo] = font_start[up]
+                font_end[lo] = font_end[up]
+                font_w[lo] = font_w[up]
+    hud = HudAssets(
+        ycoin_tex=jnp.asarray(np.int32(ycoin)),
+        bcoin_tex=jnp.asarray(np.int32(bcoin)),
+        crosshair_tex=jnp.asarray(np.int32(cross)),
+        font_tex=jnp.asarray(np.int32(font_tex)),
+        font_start_u=jnp.asarray(font_start),
+        font_end_u=jnp.asarray(font_end),
+        font_widths=jnp.asarray(font_w),
+        font_height=jnp.asarray(np.float32(font_h)),
+        font_spacing=jnp.asarray(np.float32(font_sp)),
+    )
+
     atlas = build_atlas([resolver.texture(n) for n in tex_names])
 
     return RenderBundle(
@@ -158,4 +205,5 @@ def build_render_bundle(cmap) -> RenderBundle:
         sky_pos=jnp.asarray(sky_pos),
         sky_uv=jnp.asarray(sky_uv),
         sky_tex=jnp.asarray(np.int32(sky_tex_id)),
+        hud=hud,
     )

@@ -489,3 +489,12 @@ def shade(bundle, state, gx, gy, uv, lmuv, color, tex_id, kind, shaded, frag_dep
         (discard & (kind != KIND_SKY))[..., None], fallback, rgb
     )
     return rgb
+
+
+def render_with_hud(bundle, cmap, state, height=256, width=256, fov_deg=90.0):
+    """Full frame: world render + HUD composite (MainStateRender,
+    MainState.c:95-110: RenderMap -> RenderHUD)."""
+    from c_game_engine_tpu.render.hud import render_hud
+
+    frame = render(bundle, cmap, state, height, width, fov_deg)
+    return render_hud(bundle.atlas, bundle.hud, state, frame)

@@ -96,3 +96,21 @@ def test_render_bundle_builds(test_map):
     assert rb.atlas.image.ndim == 3
     assert int(rb.sky_tex) >= 0  # test.json has a sky
     assert rb.mdl_pos.shape[0] > 0  # leafy etc.
+
+
+def test_hud_composite(test_map):
+    from c_game_engine_tpu.render.bundle import build_render_bundle
+    from c_game_engine_tpu.render.hud import render_hud
+    from c_game_engine_tpu.core.state import reset
+
+    rb = build_render_bundle(test_map)
+    st = reset(test_map)
+    st = st.replace(save=st.save.replace(coins=jnp.int32(42), blue_coins=jnp.int32(3)))
+    frame = jnp.full((128, 512, 3), 0.5, jnp.float32)
+    out = jax.jit(lambda s, f: render_hud(rb.atlas, rb.hud, s, f))(st, frame)
+    out = np.asarray(out)
+    assert out.shape == frame.shape
+    diff = np.abs(out - 0.5).sum(-1)
+    assert (diff > 0.01).sum() > 100  # crosshair + icons + digits drew pixels
+    # crosshair region changed (center)
+    assert diff[64 - 10 : 64 + 10, 256 - 10 : 256 + 10].max() > 0.01
