@@ -10,11 +10,10 @@ Replaces the Vulkan render path (VK_RenderMap, Vulkan.c:850-912: sky -> map
 
 Depth = NDC z interpolated affinely in screen space (exact for planar
 triangles with a zo projection); attributes are perspective-corrected via
-1/w. Near-plane triangle clipping is not yet implemented — triangles with a
-vertex behind the camera are dropped (TODO round2: clip). Alpha screen-door
-discard currently falls through to fog/sky rather than the next fragment
-behind (single-winner buffer; faithful for the maps' mostly-opaque
-surfaces).
+1/w. Triangles are clipped against the near plane (1 -> up to 2 emission,
+_clip_near). Alpha screen-door discard currently falls through to fog/sky
+rather than the next fragment behind (single-winner buffer; faithful for
+the maps' mostly-opaque surfaces).
 
 A Pallas tile-based version for bulk throughput lives in ops/ (see
 ops/raster_tiles.py when present); this module is the correctness
