@@ -17,6 +17,7 @@ from c_game_engine_tpu.render.textures import TextureAtlas, build_atlas
 
 MAX_SKINS = 8
 MAX_SLOTS = 8
+MAX_LODS = 4
 
 
 @struct.dataclass
@@ -36,7 +37,9 @@ class RenderBundle:
     mdl_uv: jnp.ndarray  # [Tp, 3, 2]
     mdl_color: jnp.ndarray  # [Tp, 3, 4] vertex color
     mdl_slot: jnp.ndarray  # [Tp] i32 material slot
-    mdl_range: jnp.ndarray  # [M, 2] i32 (start, count) per model id
+    mdl_lod: jnp.ndarray  # [Tp] i32 LOD index of each pool triangle
+    mdl_range: jnp.ndarray  # [M, 2] i32 (start, count) per model id (all LODs)
+    mdl_lod_dist_sq: jnp.ndarray  # [M, MAX_LODS] LOD switch distance^2 (inf pad)
     mdl_skin_tex: jnp.ndarray  # [M, MAX_SKINS, MAX_SLOTS] i32 texture id
     mdl_skin_color: jnp.ndarray  # [M, MAX_SKINS, MAX_SLOTS, 4] material color
     mdl_skin_shaded: jnp.ndarray  # [M, MAX_SKINS, MAX_SLOTS] bool
@@ -79,26 +82,30 @@ def build_render_bundle(cmap) -> RenderBundle:
 
     # ---------------- models ----------------
     model_names = aux["model_names"]
-    pool_pos, pool_uv, pool_color, pool_slot = [], [], [], []
-    ranges = np.zeros((max(len(model_names), 1), 2), np.int32)
-    skin_tex = np.full((max(len(model_names), 1), MAX_SKINS, MAX_SLOTS), -1, np.int32)
-    skin_color = np.ones((max(len(model_names), 1), MAX_SKINS, MAX_SLOTS, 4), np.float32)
-    skin_shaded = np.zeros((max(len(model_names), 1), MAX_SKINS, MAX_SLOTS), bool)
+    pool_pos, pool_uv, pool_color, pool_slot, pool_lod = [], [], [], [], []
+    m_count = max(len(model_names), 1)
+    ranges = np.zeros((m_count, 2), np.int32)
+    lod_dist_sq = np.full((m_count, MAX_LODS), np.inf, np.float32)
+    skin_tex = np.full((m_count, MAX_SKINS, MAX_SLOTS), -1, np.int32)
+    skin_color = np.ones((m_count, MAX_SKINS, MAX_SLOTS, 4), np.float32)
+    skin_shaded = np.zeros((m_count, MAX_SKINS, MAX_SLOTS), bool)
     off = 0
     for m_id, name in enumerate(model_names):
         info = resolver.model(name)
-        lod = info.model.lods[0]
-        verts = lod.vertices  # [V, 12]
         count = 0
-        for slot, idx in enumerate(lod.indices):
-            if len(idx) == 0:
-                continue
-            tri = idx.reshape(-1, 3).astype(np.int64)
-            pool_pos.append(verts[tri][:, :, 0:3])
-            pool_uv.append(verts[tri][:, :, 3:5])
-            pool_color.append(verts[tri][:, :, 5:9])
-            pool_slot.append(np.full(len(tri), slot, np.int32))
-            count += len(tri)
+        for lod_i, lod in enumerate(info.model.lods[:MAX_LODS]):
+            lod_dist_sq[m_id, lod_i] = lod.distance_squared
+            verts = lod.vertices  # [V, 12]
+            for slot, idx in enumerate(lod.indices):
+                if len(idx) == 0:
+                    continue
+                tri = idx.reshape(-1, 3).astype(np.int64)
+                pool_pos.append(verts[tri][:, :, 0:3])
+                pool_uv.append(verts[tri][:, :, 3:5])
+                pool_color.append(verts[tri][:, :, 5:9])
+                pool_slot.append(np.full(len(tri), slot, np.int32))
+                pool_lod.append(np.full(len(tri), lod_i, np.int32))
+                count += len(tri)
         ranges[m_id] = (off, count)
         off += count
         skins = info.model.skins
@@ -119,11 +126,13 @@ def build_render_bundle(cmap) -> RenderBundle:
         mdl_uv = np.concatenate(pool_uv, 0).astype(np.float32)
         mdl_color = np.concatenate(pool_color, 0).astype(np.float32)
         mdl_slot = np.concatenate(pool_slot, 0)
+        mdl_lod = np.concatenate(pool_lod, 0)
     else:
         mdl_pos = np.zeros((0, 3, 3), np.float32)
         mdl_uv = np.zeros((0, 3, 2), np.float32)
         mdl_color = np.zeros((0, 3, 4), np.float32)
         mdl_slot = np.zeros(0, np.int32)
+        mdl_lod = np.zeros(0, np.int32)
 
     # ---------------- sky ----------------
     sky_tex_id = -1
@@ -198,7 +207,9 @@ def build_render_bundle(cmap) -> RenderBundle:
         mdl_uv=jnp.asarray(mdl_uv),
         mdl_color=jnp.asarray(mdl_color),
         mdl_slot=jnp.asarray(mdl_slot),
+        mdl_lod=jnp.asarray(mdl_lod),
         mdl_range=jnp.asarray(ranges),
+        mdl_lod_dist_sq=jnp.asarray(lod_dist_sq),
         mdl_skin_tex=jnp.asarray(skin_tex),
         mdl_skin_color=jnp.asarray(skin_color),
         mdl_skin_shaded=jnp.asarray(skin_shaded),

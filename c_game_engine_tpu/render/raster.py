@@ -66,7 +66,7 @@ def camera_matrix(cmap, state, width, height, fov_deg=90.0):
     return persp @ view, cam_pos
 
 
-def gather_triangles(bundle, cmap, state):
+def gather_triangles(bundle, cmap, state, camera_pos_hint=None):
     """Assemble the per-env world-space triangle soup with attributes.
 
     Returns dict of arrays over T = Tmap + Tmodels + Twalls + Tsky:
@@ -136,7 +136,19 @@ def gather_triangles(bundle, cmap, state):
         shaded = bundle.mdl_skin_shaded[mid, skin, slot]
         vcolor = bundle.mdl_color[p_of]
         color = vcolor * mat_color[:, None, :] * actors.mod_color[a_of][:, None, :]
-        valid = actors.active[a_of] & actors.visible[a_of]
+        # LOD selection per actor: camera distance^2 vs per-LOD thresholds
+        # (LodThread.c:56-78; lodMultiplier fixed at 1.0)
+        cam = camera_pos_hint if camera_pos_hint is not None else state.player.pos
+        d2 = jnp.sum((actors.pos - cam[None, :]) ** 2, -1)  # [N]
+        thresh = bundle.mdl_lod_dist_sq[cmap.model_id.clip(0)]  # [N, MAX_LODS]
+        # LOD i applies once d2 exceeds lod[i].distanceSquared; lod 0 always
+        sel_lod = jnp.sum((d2[:, None] >= thresh[:, 1:]).astype(jnp.int32), axis=1)
+        sel_lod = jnp.clip(sel_lod, 0, bundle.mdl_lod_dist_sq.shape[1] - 1)
+        valid = (
+            actors.active[a_of]
+            & actors.visible[a_of]
+            & (bundle.mdl_lod[p_of] == sel_lod[a_of])
+        )
         add(world, bundle.mdl_uv[p_of], color, tex, KIND_MODEL, shaded, valid, False)
 
     # ---- actor walls (two-sided quads; base verts VulkanResources.c:251-334,
@@ -212,7 +224,7 @@ def _concat_parts(parts):
 def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0):
     """Render one env's view. Returns f32 [H, W, 3] in [0, 1]."""
     vp, cam_pos = camera_matrix(cmap, state, width, height, fov_deg)
-    parts = gather_triangles(bundle, cmap, state)
+    parts = gather_triangles(bundle, cmap, state, camera_pos_hint=cam_pos)
 
     # sky triangles follow the camera (sky_v.gshd)
     ts = bundle.sky_pos.shape[0]
