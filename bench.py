@@ -32,8 +32,9 @@ def main():
     )
 
     roll = jax.jit(lambda s, a: rollout(cmap, s, a))
-    # warmup/compile
-    out = roll(state, jax.tree.map(lambda x: x[:1], acts))
+    # warmup/compile with the SAME stream shape (a different length would
+    # compile a different scan and the timed call would pay compilation)
+    out = roll(state, acts)
     jax.block_until_ready(out)
 
     t0 = time.perf_counter()

@@ -65,7 +65,7 @@ def bench_config(name, path, batch, ticks):
         move=acts.move.at[..., 1].set(-1.0), look=acts.look.at[..., 0].set(0.01)
     )
     roll = jax.jit(lambda s, a: rollout(cmap, s, a))
-    out = roll(state, jax.tree.map(lambda x: x[:1], acts))
+    out = roll(state, acts)  # warmup: same shapes as the timed call
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     out = roll(state, acts)
