@@ -251,6 +251,42 @@ def compile_map(
     tri_valid = np.zeros(t, bool)
     tri_valid[:t_real] = (ln[:t_real, 0] > 1e-12)
 
+    # Morton-order triangles by centroid so the Pallas kernels' fixed-size
+    # chunks are spatially coherent (enables per-chunk AABB skipping)
+    cent = tris_p.mean(axis=1)
+    lo_c = cent[:t_real].min(0) if t_real else np.zeros(3)
+    hi_c = cent[:t_real].max(0) if t_real else np.ones(3)
+    qx = np.clip(((cent[:, 0] - lo_c[0]) / max(hi_c[0] - lo_c[0], 1e-6) * 1023), 0, 1023).astype(np.uint32)
+    qz = np.clip(((cent[:, 2] - lo_c[2]) / max(hi_c[2] - lo_c[2], 1e-6) * 1023), 0, 1023).astype(np.uint32)
+
+    def _part1by1(v):
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    morton = _part1by1(qx) | (_part1by1(qz) << 1)
+    morton[~tri_valid] = np.uint32(0xFFFFFFFF)  # pad tris sort last
+    order = np.argsort(morton, kind="stable")
+    tris_p = tris_p[order]
+    nrm = nrm[order]
+    tri_valid = tri_valid[order]
+
+    # per-T_CHUNK chunk AABBs in XZ (for kernel chunk skipping)
+    from c_game_engine_tpu.ops.capsule_resolve import T_CHUNK
+
+    t_padded = ((t + T_CHUNK - 1) // T_CHUNK) * T_CHUNK
+    n_chunks = t_padded // T_CHUNK
+    chunk_bounds = np.zeros((n_chunks, 4), np.float32)
+    for ci in range(n_chunks):
+        sl = slice(ci * T_CHUNK, min((ci + 1) * T_CHUNK, t))
+        v = tris_p[sl][tri_valid[sl]] if sl.start < t else np.zeros((0, 3, 3))
+        if len(v):
+            chunk_bounds[ci] = [v[..., 0].min(), v[..., 2].min(), v[..., 0].max(), v[..., 2].max()]
+        else:
+            chunk_bounds[ci] = [1e30, 1e30, -1e30, -1e30]  # empty: never overlaps
+
     from c_game_engine_tpu.compiler.broadphase import build_grid
 
     grid = build_grid(tris_p, tri_valid)
@@ -346,6 +382,7 @@ def compile_map(
         tri_soa=jnp.asarray(
             np.concatenate([tris_p.reshape(t, 9).T, nrm.astype(np.float32).T], axis=0)
         ),
+        chunk_bounds=jnp.asarray(chunk_bounds),
         grid_lo=jnp.asarray(grid["lo"]),
         grid_inv_cell=jnp.asarray(grid["inv_cell"]),
         grid_cells=jnp.asarray(grid["cells"]),

@@ -25,7 +25,7 @@ BLK = 128
 K = 4
 
 
-def _kernel(tri_ref, body_ref, out_ref, *, D):
+def _kernel(tri_ref, cb_ref, body_ref, out_ref, *, D):
     n_chunks = tri_ref.shape[0] // T_CHUNK
 
     for d in range(D):
@@ -40,7 +40,22 @@ def _kernel(tri_ref, body_ref, out_ref, *, D):
         # running top-K: lists of ([1, BLK]) tuples, sorted desc by depth
         best = [[neg, zero, zero + 1.0, zero, zero, zero, zero] for _ in range(K)]
 
+        MARGIN = 1.5  # body support radius + travel
+        bxmin = jnp.min(ccx) - MARGIN
+        bxmax = jnp.max(ccx) + MARGIN
+        bzmin = jnp.min(ccz) - MARGIN
+        bzmax = jnp.max(ccz) + MARGIN
+
         def chunk_body(ci, best_flat):
+            overlap = (
+                (cb_ref[ci, 0] <= bxmax)
+                & (cb_ref[ci, 2] >= bxmin)
+                & (cb_ref[ci, 1] <= bzmax)
+                & (cb_ref[ci, 3] >= bzmin)
+            )
+            return jax.lax.cond(overlap, lambda bf: _chunk_do(ci, bf), lambda bf: bf, best_flat)
+
+        def _chunk_do(ci, best_flat):
             best = [best_flat[i * 7 : (i + 1) * 7] for i in range(K)]
             tri = tri_ref[pl.ds(ci * T_CHUNK, T_CHUNK), :]
             col = lambda k: tri[:, k : k + 1]
@@ -92,22 +107,25 @@ def _kernel(tri_ref, body_ref, out_ref, *, D):
         out_ref[7, d * K : (d + 1) * K, :] = jnp.zeros((K, ccx.shape[1]), jnp.float32)
 
 
-def body_contacts_pallas(tri16, body11, D):
-    """tri16 [T, 16]; body11 [16, D, B] comps (ccx ccy ccz qx qy qz qw hx hy
-    hz on ...). Returns [8, D*K, B]: depth nx ny nz px py pz pad."""
+def body_contacts_pallas(tri16, chunk_bounds, body11, D):
+    """tri16 [T, 16]; chunk_bounds [T/T_CHUNK, 4]; body11 [16, D, B] comps
+    (ccx ccy ccz qx qy qz qw hx hy hz on ...). Returns [8, D*K, B]: depth
+    nx ny nz px py pz pad."""
     import functools
 
     B = body11.shape[2]
     assert B % BLK == 0
     T = tri16.shape[0]
+    NC = chunk_bounds.shape[0]
     out = pl.pallas_call(
         functools.partial(_kernel, D=D),
         grid=(B // BLK,),
         in_specs=[
             pl.BlockSpec((T, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NC, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((16, D, BLK), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((8, D * K, BLK), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, D * K, B), jnp.float32),
-    )(tri16, body11)
+    )(tri16, chunk_bounds, body11)
     return out

@@ -126,7 +126,7 @@ def _chunk_best(px, py, pz, sy0, sy1, tri):
     return best, wnx, wny, wnz
 
 
-def _kernel(tri_ref, box_ref, bh_ref, pin_ref, vin_ref, pout_ref, vout_ref, g_ref):
+def _kernel(tri_ref, cb_ref, box_ref, bh_ref, pin_ref, vin_ref, pout_ref, vout_ref, g_ref):
     px = pin_ref[0:1, :]
     py = pin_ref[1:2, :]
     pz = pin_ref[2:3, :]
@@ -141,17 +141,35 @@ def _kernel(tri_ref, box_ref, bh_ref, pin_ref, vin_ref, pout_ref, vout_ref, g_re
         sy0 = py - CAPSULE_HALF_HEIGHT
         sy1 = py + CAPSULE_HALF_HEIGHT
 
+        # env-block XZ bounds for chunk skipping (MARGIN covers capsule
+        # radius + per-iteration travel)
+        MARGIN = 1.0
+        bxmin = jnp.min(px) - MARGIN
+        bxmax = jnp.max(px) + MARGIN
+        bzmin = jnp.min(pz) - MARGIN
+        bzmax = jnp.max(pz) + MARGIN
+
         def chunk_body(ci, acc):
-            best, bnx, bny, bnz = acc
-            tri = tri_ref[pl.ds(ci * T_CHUNK, T_CHUNK), :]
-            cb, cnx, cny, cnz = _chunk_best(px, py, pz, sy0, sy1, tri)
-            better = cb > best
-            return (
-                jnp.where(better, cb, best),
-                jnp.where(better, cnx, bnx),
-                jnp.where(better, cny, bny),
-                jnp.where(better, cnz, bnz),
+            overlap = (
+                (cb_ref[ci, 0] <= bxmax)
+                & (cb_ref[ci, 2] >= bxmin)
+                & (cb_ref[ci, 1] <= bzmax)
+                & (cb_ref[ci, 3] >= bzmin)
             )
+
+            def do(acc):
+                best, bnx, bny, bnz = acc
+                tri = tri_ref[pl.ds(ci * T_CHUNK, T_CHUNK), :]
+                cb, cnx, cny, cnz = _chunk_best(px, py, pz, sy0, sy1, tri)
+                better = cb > best
+                return (
+                    jnp.where(better, cb, best),
+                    jnp.where(better, cnx, bnx),
+                    jnp.where(better, cny, bny),
+                    jnp.where(better, cnz, bnz),
+                )
+
+            return jax.lax.cond(overlap, do, lambda a: a, acc)
 
         zero = jnp.zeros_like(px)
         best, wnx, wny, wnz = jax.lax.fori_loop(
@@ -225,10 +243,11 @@ def _kernel(tri_ref, box_ref, bh_ref, pin_ref, vin_ref, pout_ref, vout_ref, g_re
 
 
 @jax.jit
-def resolve_capsule_pallas(tri16, box8, boxh, pos, vel):
+def resolve_capsule_pallas(tri16, chunk_bounds, box8, boxh, pos, vel):
     """pos/vel [B, 3] -> (pos, vel, grounded [B]).
 
     tri16: [T, 16] triangle table, T a multiple of T_CHUNK
+    chunk_bounds: [T/T_CHUNK, 4] per-chunk XZ AABB (minx minz maxx maxz)
     box8:  [8, N, B] per-env box comps (ox oy oz qx qy qz qw mask)
     boxh:  [4, N, B] half extents
     """
@@ -240,12 +259,14 @@ def resolve_capsule_pallas(tri16, box8, boxh, pos, vel):
 
     n_blocks = B // BLK
     T = tri16.shape[0]
+    NC = chunk_bounds.shape[0]
     N = box8.shape[1]
     pout, vout, g = pl.pallas_call(
         _kernel,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((T, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NC, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, N, BLK), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, N, BLK), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -261,5 +282,5 @@ def resolve_capsule_pallas(tri16, box8, boxh, pos, vel):
             jax.ShapeDtypeStruct((8, B), jnp.float32),
             jax.ShapeDtypeStruct((1, B), jnp.float32),
         ],
-    )(tri16, box8, boxh, pin, vin)
+    )(tri16, chunk_bounds, box8, boxh, pin, vin)
     return pout[0:3].T, vout[0:3].T, g[0] > 0.5

@@ -146,7 +146,7 @@ def _resolve_dispatch(cmap, pos, vel, solid_ctx, pallas_ctx):
         return resolve_capsule_batched(cmap, pos, vel, solid_ctx)
     from c_game_engine_tpu.ops.capsule_resolve import BLK, resolve_capsule_pallas
 
-    tri16, box8, boxh = pallas_ctx
+    tri16, cb, box8, boxh = pallas_ctx
     B = pos.shape[0]
     pad = (-B) % BLK
     if pad:
@@ -154,7 +154,7 @@ def _resolve_dispatch(cmap, pos, vel, solid_ctx, pallas_ctx):
         vel = jnp.concatenate([vel, jnp.zeros((pad, 3))], 0)
         box8 = jnp.concatenate([box8, jnp.zeros((*box8.shape[:2], pad))], -1)
         boxh = jnp.concatenate([boxh, jnp.zeros((*boxh.shape[:2], pad))], -1)
-    p, v, g = resolve_capsule_pallas(tri16, box8, boxh, pos, vel)
+    p, v, g = resolve_capsule_pallas(tri16, cb, box8, boxh, pos, vel)
     if pad:
         p, v, g = p[:B], v[:B], g[:B]
     return p, v, g
@@ -180,6 +180,7 @@ def _make_pallas_ctx(cmap, solid_ctx):
     if t_pad:
         tri16 = jnp.concatenate([tri16, jnp.zeros((t_pad, 16), jnp.float32)], 0)
     bcast = lambda a: jnp.broadcast_to(a, (N, B))
+    cb = cmap.chunk_bounds
     box8 = jnp.stack(
         [
             bcast(box_o[0]), bcast(box_o[1]), bcast(box_o[2]),
@@ -190,7 +191,7 @@ def _make_pallas_ctx(cmap, solid_ctx):
     boxh = jnp.stack(
         [bcast(box_h[0]), bcast(box_h[1]), bcast(box_h[2]), jnp.zeros((N, B))]
     )
-    return tri16, box8, boxh
+    return tri16, cb, box8, boxh
 
 
 def update_character_batched(cmap, actors, pos, vel, dt, was_on_ground, jumping, noclip):
@@ -206,8 +207,8 @@ def update_character_batched(cmap, actors, pos, vel, dt, was_on_ground, jumping,
 
     if pallas_ctx is not None:
         # main + step-up resolves fused into one double-batch kernel call
-        tri16, box8, boxh = pallas_ctx
-        ctx2 = (tri16, jnp.tile(box8, (1, 1, 2)), jnp.tile(boxh, (1, 1, 2)))
+        tri16, cb2, box8, boxh = pallas_ctx
+        ctx2 = (tri16, cb2, jnp.tile(box8, (1, 1, 2)), jnp.tile(boxh, (1, 1, 2)))
         p12, v12, g12 = _resolve_dispatch(
             cmap,
             jnp.concatenate([new_pos, lifted], 0),
@@ -448,7 +449,7 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
                      jnp.broadcast_to(dhz, (D, B)), on.astype(jnp.float32)]
             for k_, a_ in enumerate(comps):
                 body11 = body11.at[k_, :, :B].set(a_)
-            outc = body_contacts_pallas(tri16, body11, D)[:, :, :B]
+            outc = body_contacts_pallas(tri16, cmap.chunk_bounds, body11, D)[:, :, :B]
             c_d = outc[0].reshape(D, MANIFOLD_K, B)
             c_nx = outc[1].reshape(D, MANIFOLD_K, B)
             c_ny = outc[2].reshape(D, MANIFOLD_K, B)
