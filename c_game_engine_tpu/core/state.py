@@ -18,7 +18,7 @@ from flax import struct
 # Event queue capacity per tick (signal system). The reference's recursive
 # synchronous ActorFireOutput (Actor.c:80-122) is replaced by bounded rounds
 # over this queue.
-EVENT_CAPACITY = 32
+EVENT_CAPACITY = 16
 SIGNAL_ROUNDS = 4
 
 

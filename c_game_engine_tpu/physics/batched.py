@@ -414,6 +414,65 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
         lx, ly, lz = lx * iIx, ly * iIy, lz * iIz
         return g.quat_rotate_soa(qx, qy, qz, qw, lx, ly, lz)
 
+    # ---------------- persistent tri-contact manifold (once per tick) ----
+    # Contact POINTS/NORMALS are generated at pre-integration poses; depths
+    # are recomputed each substep from the live pose (persistent-manifold
+    # scheme; Jolt regenerates per collision step — PARITY.md #4).
+    ccx0, ccy0, ccz0 = g.quat_rotate_soa(dqx, dqy, dqz, dqw, dcx, dcy, dcz)
+    ccx0, ccy0, ccz0 = ccx0 + dpx, ccy0 + dpy, ccz0 + dpz
+    if use_pallas:
+        from c_game_engine_tpu.ops.body_contacts import BLK as PBLK, body_contacts_pallas
+
+        pad = (-B) % PBLK
+        body11 = jnp.zeros((16, D, B + pad), jnp.float32)
+        comps = [ccx0, ccy0, ccz0, dqx, dqy, dqz, dqw,
+                 jnp.broadcast_to(dhx, (D, B)), jnp.broadcast_to(dhy, (D, B)),
+                 jnp.broadcast_to(dhz, (D, B)), d_on_t.astype(jnp.float32)]
+        for k_, a_ in enumerate(comps):
+            body11 = body11.at[k_, :, :B].set(a_)
+        outc = body_contacts_pallas(tri16, cmap.chunk_bounds, body11, D)[:, :, :B]
+        gen_d = outc[0].reshape(D, MANIFOLD_K, B)
+        c_nx = outc[1].reshape(D, MANIFOLD_K, B)
+        c_ny = outc[2].reshape(D, MANIFOLD_K, B)
+        c_nz = outc[3].reshape(D, MANIFOLD_K, B)
+        c_px = outc[4].reshape(D, MANIFOLD_K, B)
+        c_py = outc[5].reshape(D, MANIFOLD_K, B)
+        c_pz = outc[6].reshape(D, MANIFOLD_K, B)
+    else:
+        cand = _grid_cells_at(cmap, ccx0.reshape(-1), ccz0.reshape(-1))  # [L, D*B]
+        L = cand.shape[0]
+        cand = cand.reshape(L, D, B).transpose(1, 0, 2)  # [D, L, B]
+        c = _tri_comps(cmap, cand)
+        cand_ok0 = (cand >= 0) & jnp.take(cmap.tri_valid, jnp.clip(cand, 0, None)) & d_on_t[:, None, :]
+        e = lambda a_: a_[:, None, :]
+        qtx, qty, qtz = g.closest_point_on_triangle_soa(
+            e(ccx0), e(ccy0), e(ccz0), c[0], c[1], c[2], c[3], c[4], c[5], c[6], c[7], c[8]
+        )
+        dx_, dy_, dz_ = e(ccx0) - qtx, e(ccy0) - qty, e(ccz0) - qtz
+        rnx, rny, rnz, dist = g.normalize3(dx_, dy_, dz_)
+        fnx, fny, fnz = c[9], c[10], c[11]
+        side = jnp.sign(g.dot3(e(ccx0) - c[0], e(ccy0) - c[1], e(ccz0) - c[2], fnx, fny, fnz))
+        side = jnp.where(side == 0, 1.0, side)
+        flip = jnp.sign(g.dot3(rnx, rny, rnz, fnx, fny, fnz)) * side
+        flip = jnp.where(flip == 0, 1.0, flip)
+        cnx0 = jnp.where(dist > 1e-6, rnx * flip, fnx * side)
+        cny0 = jnp.where(dist > 1e-6, rny * flip, fny * side)
+        cnz0 = jnp.where(dist > 1e-6, rnz * flip, fnz * side)
+        signed = g.dot3(dx_, dy_, dz_, cnx0, cny0, cnz0)
+        r_sup0 = g.box_support_soa(e(dqx), e(dqy), e(dqz), e(dqw), e(dhx * 1.0), e(dhy * 1.0), e(dhz * 1.0), cnx0, cny0, cnz0)
+        depth0 = jnp.where(cand_ok0, r_sup0 - signed, -jnp.inf)
+        sel = [[] for _ in range(7)]
+        dwork = depth0
+        for _k in range(MANIFOLD_K):
+            i = jnp.argmax(dwork, axis=1)
+            tk = lambda a_: jnp.take_along_axis(a_, i[:, None, :], axis=1)[:, 0, :]
+            for li, a_ in enumerate((dwork, cnx0, cny0, cnz0, qtx, qty, qtz)):
+                sel[li].append(tk(a_))
+            dwork = jnp.where(jnp.arange(L)[None, :, None] == i[:, None, :], -jnp.inf, dwork)
+        gen_d, c_nx, c_ny, c_nz, c_px, c_py, c_pz = (jnp.stack(x, 1) for x in sel)
+    # candidate set: contacts + near-contacts (catch mid-tick impacts)
+    cand_live = gen_d > -0.3
+
     def substep(carry, _):
         dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz = carry
         on = d_on_t
@@ -438,64 +497,16 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
         ccx, ccy, ccz = g.quat_rotate_soa(dqx, dqy, dqz, dqw, dcx, dcy, dcz)
         ccx, ccy, ccz = ccx + dpx, ccy + dpy, ccz + dpz
 
-        # ---------------------------- vs static triangles
-        if use_pallas:
-            from c_game_engine_tpu.ops.body_contacts import BLK as PBLK, body_contacts_pallas
-
-            pad = (-B) % PBLK
-            body11 = jnp.zeros((16, D, B + pad), jnp.float32)
-            comps = [ccx, ccy, ccz, dqx, dqy, dqz, dqw,
-                     jnp.broadcast_to(dhx, (D, B)), jnp.broadcast_to(dhy, (D, B)),
-                     jnp.broadcast_to(dhz, (D, B)), on.astype(jnp.float32)]
-            for k_, a_ in enumerate(comps):
-                body11 = body11.at[k_, :, :B].set(a_)
-            outc = body_contacts_pallas(tri16, cmap.chunk_bounds, body11, D)[:, :, :B]
-            c_d = outc[0].reshape(D, MANIFOLD_K, B)
-            c_nx = outc[1].reshape(D, MANIFOLD_K, B)
-            c_ny = outc[2].reshape(D, MANIFOLD_K, B)
-            c_nz = outc[3].reshape(D, MANIFOLD_K, B)
-            c_px = outc[4].reshape(D, MANIFOLD_K, B)
-            c_py = outc[5].reshape(D, MANIFOLD_K, B)
-            c_pz = outc[6].reshape(D, MANIFOLD_K, B)
-            c_d = jnp.where(c_d < -1e29, -jnp.inf, c_d)
-        else:
-            cand = _grid_cells_at(cmap, ccx.reshape(-1), ccz.reshape(-1))  # [L, D*B]
-            L = cand.shape[0]
-            cand = cand.reshape(L, D, B).transpose(1, 0, 2)  # [D, L, B]
-            c = _tri_comps(cmap, cand)
-            cand_ok = (cand >= 0) & jnp.take(cmap.tri_valid, jnp.clip(cand, 0, None)) & on[:, None, :]
-            e = lambda a: a[:, None, :]  # [D, B] -> [D, 1, B]
-            qtx, qty, qtz = g.closest_point_on_triangle_soa(
-                e(ccx), e(ccy), e(ccz), c[0], c[1], c[2], c[3], c[4], c[5], c[6], c[7], c[8]
-            )
-            dx_, dy_, dz_ = e(ccx) - qtx, e(ccy) - qty, e(ccz) - qtz
-            rnx, rny, rnz, dist = g.normalize3(dx_, dy_, dz_)
-            fnx, fny, fnz = c[9], c[10], c[11]
-            side = jnp.sign(
-                g.dot3(e(ccx) - c[0], e(ccy) - c[1], e(ccz) - c[2], fnx, fny, fnz)
-            )
-            side = jnp.where(side == 0, 1.0, side)
-            flip = jnp.sign(g.dot3(rnx, rny, rnz, fnx, fny, fnz)) * side
-            flip = jnp.where(flip == 0, 1.0, flip)
-            cnx = jnp.where(dist > 1e-6, rnx * flip, fnx * side)
-            cny = jnp.where(dist > 1e-6, rny * flip, fny * side)
-            cnz = jnp.where(dist > 1e-6, rnz * flip, fnz * side)
-            signed = g.dot3(dx_, dy_, dz_, cnx, cny, cnz)
-            r_sup = g.box_support_soa(e(dqx), e(dqy), e(dqz), e(dqw), e(dhx * 1.0), e(dhy * 1.0), e(dhz * 1.0), cnx, cny, cnz)
-            depth = jnp.where(cand_ok, r_sup - signed, -jnp.inf)  # [D, L, B]
-
-            # top-K manifold via iterative argmax along L
-            sel = [[] for _ in range(7)]
-            dwork = depth
-            for _k in range(MANIFOLD_K):
-                i = jnp.argmax(dwork, axis=1)  # [D, B]
-                tk = lambda a: jnp.take_along_axis(a, i[:, None, :], axis=1)[:, 0, :]
-                for li, a_ in enumerate((dwork, cnx, cny, cnz, qtx, qty, qtz)):
-                    sel[li].append(tk(a_))
-                dwork = jnp.where(
-                    jnp.arange(L)[None, :, None] == i[:, None, :], -jnp.inf, dwork
-                )
-            c_d, c_nx, c_ny, c_nz, c_px, c_py, c_pz = (jnp.stack(x, 1) for x in sel)
+        # ------------------- recompute manifold depths at the live pose
+        e2m = lambda a_: a_[:, None, :]
+        r_sup_k = g.box_support_soa(
+            e2m(dqx), e2m(dqy), e2m(dqz), e2m(dqw),
+            e2m(dhx * 1.0), e2m(dhy * 1.0), e2m(dhz * 1.0), c_nx, c_ny, c_nz,
+        )
+        signed_k = (
+            (e2m(ccx) - c_px) * c_nx + (e2m(ccy) - c_py) * c_ny + (e2m(ccz) - c_pz) * c_nz
+        )
+        c_d = jnp.where(cand_live & e2m(on), r_sup_k - signed_k, -jnp.inf)
         active = c_d > 0.0
 
         def solver_iter(_, vo):
