@@ -52,6 +52,14 @@ class RenderBundle:
     # HUD assets (render/hud.py)
     hud: HudAssets
 
+    # viewmodel (first-person item model; eraser item only — EraserItem.c
+    # SwitchTo loads model/eraser.gmdl at x=+0.5, yaw 5 deg)
+    vm_pos: jnp.ndarray  # [Tv, 3, 3]
+    vm_uv: jnp.ndarray  # [Tv, 3, 2]
+    vm_color: jnp.ndarray  # [Tv, 3, 4]
+    vm_tex: jnp.ndarray  # [Tv] i32
+    vm_item: jnp.ndarray  # [Tv] i32 which item id shows this model
+
     @property
     def num_map_tris(self):
         return self.map_pos.shape[0]
@@ -193,6 +201,35 @@ def build_render_bundle(cmap) -> RenderBundle:
         font_spacing=jnp.asarray(np.float32(font_sp)),
     )
 
+    # ---------------- viewmodel models ----------------
+    vm_pos = np.zeros((0, 3, 3), np.float32)
+    vm_uv = np.zeros((0, 3, 2), np.float32)
+    vm_color = np.zeros((0, 3, 4), np.float32)
+    vm_tex = np.zeros(0, np.int32)
+    vm_item = np.zeros(0, np.int32)
+    er_path = resolver.resolve("model/eraser.gmdl")
+    if er_path:
+        from c_game_engine_tpu.assets.codecs import decode_gmdl
+
+        em = decode_gmdl(er_path)
+        lod = em.lods[0]
+        verts = lod.vertices
+        parts_p, parts_u, parts_c, parts_t = [], [], [], []
+        for slot, idx in enumerate(lod.indices):
+            if not len(idx):
+                continue
+            tri = idx.reshape(-1, 3).astype(np.int64)
+            mat = em.materials[int(em.skins[0, slot])] if len(em.skins) else em.materials[0]
+            parts_p.append(verts[tri][:, :, 0:3])
+            parts_u.append(verts[tri][:, :, 3:5])
+            parts_c.append(verts[tri][:, :, 5:9] * mat["color"][None, None, :])
+            parts_t.append(np.full(len(tri), intern(mat["texture"]), np.int32))
+        vm_pos = np.concatenate(parts_p, 0).astype(np.float32)
+        vm_uv = np.concatenate(parts_u, 0).astype(np.float32)
+        vm_color = np.concatenate(parts_c, 0).astype(np.float32)
+        vm_tex = np.concatenate(parts_t, 0)
+        vm_item = np.zeros(len(vm_pos), np.int32)  # eraser = item 0
+
     atlas = build_atlas([resolver.texture(n) for n in tex_names])
 
     return RenderBundle(
@@ -217,4 +254,9 @@ def build_render_bundle(cmap) -> RenderBundle:
         sky_uv=jnp.asarray(sky_uv),
         sky_tex=jnp.asarray(np.int32(sky_tex_id)),
         hud=hud,
+        vm_pos=jnp.asarray(vm_pos),
+        vm_uv=jnp.asarray(vm_uv),
+        vm_color=jnp.asarray(vm_color),
+        vm_tex=jnp.asarray(vm_tex),
+        vm_item=jnp.asarray(vm_item),
     )

@@ -502,10 +502,98 @@ def shade(bundle, state, gx, gy, uv, lmuv, color, tex_id, kind, shaded, frag_dep
     return rgb
 
 
+def render_viewmodel(bundle, state, frame):
+    """First-person viewmodel overlay (VK_RenderMap viewmodel stage;
+    UpdateViewModelMatrix VulkanHelpers.c:174-212: perspective(70deg) x
+    translate(+-pos) x yaw; depth test off). Shown only while the eraser
+    item is selected (EraserItem.c SwitchTo: pos.x=0.5, yaw 5 deg; the
+    DefaultItemUpdate bobs pos.y with viewBobbingHeight*0.2-0.35)."""
+    tv = bundle.vm_pos.shape[0]
+    if tv == 0:
+        return frame
+    h, w = frame.shape[:2]
+    yaw = jnp.deg2rad(5.0)
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    rot = jnp.array([[cy, 0.0, sy], [0.0, 1.0, 0.0], [-sy, 0.0, cy]])  # about -Y by 5deg
+    offset = jnp.stack(
+        [jnp.float32(0.5), -(state.player.view_bob * 0.2 - 0.35), jnp.float32(0.0)]
+    )
+    world = jnp.einsum("ij,tvj->tvi", rot, bundle.vm_pos) + offset
+    persp = perspective_lh_zo(jnp.deg2rad(70.0), w / h, 0.01, 4.0)
+    pos_h = jnp.concatenate([world * jnp.array([1.0, -1.0, 1.0]), jnp.ones((tv, 3, 1))], -1)
+    clip = jnp.einsum("ij,tvj->tvi", persp, pos_h)
+    wc = clip[..., 3]
+    ok = jnp.all(wc > 1e-4, -1)
+    inv_w = 1.0 / jnp.where(jnp.abs(wc) > 1e-9, wc, 1e-9)
+    ndc = clip[..., :3] * inv_w[..., None]
+    sx = (ndc[..., 0] + 1) * 0.5 * w
+    sy_ = (ndc[..., 1] + 1) * 0.5 * h
+    sz = ndc[..., 2]
+
+    show = (state.save.current_item == 0) & (state.camera_actor < 0)
+    valid = ok & show & ((bundle.vm_item == state.save.current_item) | True)
+
+    px = jnp.arange(w, dtype=jnp.float32) + 0.5
+    py = jnp.arange(h, dtype=jnp.float32) + 0.5
+    gx, gy = jnp.meshgrid(px, py)
+
+    zbuf = jnp.full((h, w), jnp.inf)
+    win = jnp.full((h, w), -1, jnp.int32)
+    n_chunks = (tv + CHUNK - 1) // CHUNK
+    pad = n_chunks * CHUNK - tv
+    if pad:
+        sx = jnp.concatenate([sx, jnp.zeros((pad, 3))])
+        sy_ = jnp.concatenate([sy_, jnp.zeros((pad, 3))])
+        sz = jnp.concatenate([sz, jnp.ones((pad, 3))])
+        valid = jnp.concatenate([valid, jnp.zeros(pad, bool)])
+
+    def pass1(carry, ci):
+        zbuf, win = carry
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, ci * CHUNK, CHUNK, 0)
+        cx, cyy, cz = sl(sx), sl(sy_), sl(sz)
+        cok = sl(valid)
+
+        def edges(i, j):
+            return (cx[:, j] - cx[:, i])[:, None, None] * (gy[None] - cyy[:, i][:, None, None]) - (
+                cyy[:, j] - cyy[:, i]
+            )[:, None, None] * (gx[None] - cx[:, i][:, None, None])
+
+        e0, e1, e2 = edges(0, 1), edges(1, 2), edges(2, 0)
+        inside = ((e0 <= 0) & (e1 <= 0) & (e2 <= 0)) | ((e0 >= 0) & (e1 >= 0) & (e2 >= 0))
+        den = jnp.where(jnp.abs(e0 + e1 + e2) > 1e-9, e0 + e1 + e2, 1e-9)
+        z = (e1 * cz[:, 0, None, None] + e2 * cz[:, 1, None, None] + e0 * cz[:, 2, None, None]) / den
+        z = jnp.where(inside & cok[:, None, None] & (z > 0) & (z < 1), z, jnp.inf)
+        best = jnp.argmin(z, 0)
+        bz = jnp.take_along_axis(z, best[None], 0)[0]
+        closer = bz < zbuf
+        return (jnp.where(closer, bz, zbuf), jnp.where(closer, ci * CHUNK + best, win)), None
+
+    (zbuf, win), _ = jax.lax.scan(pass1, (zbuf, win), jnp.arange(n_chunks))
+    has = win >= 0
+    widx = jnp.clip(win, 0, None)
+    vsx, vsy = sx[widx], sy_[widx]
+    e0 = (vsx[..., 1] - vsx[..., 0]) * (gy - vsy[..., 0]) - (vsy[..., 1] - vsy[..., 0]) * (gx - vsx[..., 0])
+    e1 = (vsx[..., 2] - vsx[..., 1]) * (gy - vsy[..., 1]) - (vsy[..., 2] - vsy[..., 1]) * (gx - vsx[..., 1])
+    e2 = (vsx[..., 0] - vsx[..., 2]) * (gy - vsy[..., 2]) - (vsy[..., 0] - vsy[..., 2]) * (gx - vsx[..., 2])
+    den = jnp.where(jnp.abs(e0 + e1 + e2) > 1e-9, e0 + e1 + e2, 1e-9)
+    b = jnp.stack([e1 / den, e2 / den, e0 / den], -1)
+    uvpad = jnp.concatenate([bundle.vm_uv, jnp.zeros((pad, 3, 2))]) if pad else bundle.vm_uv
+    colpad = jnp.concatenate([bundle.vm_color, jnp.ones((pad, 3, 4))]) if pad else bundle.vm_color
+    texpad = jnp.concatenate([bundle.vm_tex, jnp.zeros(pad, jnp.int32)]) if pad else bundle.vm_tex
+    uv = jnp.sum(uvpad[widx] * b[..., None], -2)
+    col = jnp.sum(colpad[widx] * b[..., None], -2)
+    tex4 = sample(bundle.atlas, texpad[widx], uv)
+    # model_shaded math minus lightmap/fog (viewmodel draws close, fog ~0)
+    env = state.env
+    rgb = jnp.clip(tex4[..., :3] * col[..., :3] * env.light_color[:3] * env.exposure, 0, 1)
+    return jnp.where(has[..., None], rgb, frame)
+
+
 def render_with_hud(bundle, cmap, state, height=256, width=256, fov_deg=90.0):
-    """Full frame: world render + HUD composite (MainStateRender,
+    """Full frame: world render + viewmodel + HUD composite (MainStateRender,
     MainState.c:95-110: RenderMap -> RenderHUD)."""
     from c_game_engine_tpu.render.hud import render_hud
 
     frame = render(bundle, cmap, state, height, width, fov_deg)
+    frame = render_viewmodel(bundle, state, frame)
     return render_hud(bundle.atlas, bundle.hud, state, frame)
