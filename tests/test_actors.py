@@ -156,3 +156,44 @@ def test_held_actor_spring(rig, sfn):
     # drop with E again
     st = sfn(st, press)
     assert int(st.player.held_actor) == -1
+
+
+def test_laser_blocked_by_physbox(rig, sfn):
+    """CAN_BLOCK_LASERS: parking the physbox in the beam shortens it
+    (Laser.c body filter honoring the flag)."""
+    st = reset(rig)
+    st = run(rig, sfn, st, 10)
+    i_laser = idx_of(rig, "LASER")
+    full_len = float(st.actors.fdata[i_laser, 0])
+    # rig emitter at x=-6 yaw=pi/2 fires -X into the wall at x=-8
+    assert 1.4 < full_len < 2.5, full_len
+    # park the physbox inside the beam path
+    i_pb = idx_of(rig, "PHYSBOX")
+    st = st.replace(
+        actors=st.actors.replace(
+            pos=st.actors.pos.at[i_pb].set(jnp.array([-7.2, -0.3, 0.0])),
+            vel=st.actors.vel.at[i_pb].set(jnp.zeros(3)),
+        )
+    )
+    st = sfn(st, Actions.zeros())
+    blocked_len = float(st.actors.fdata[i_laser, 0])
+    assert blocked_len < full_len - 0.5, (full_len, blocked_len)
+    assert 0.2 < blocked_len < 1.4
+
+
+def test_global_light_interpolation(rig, sfn):
+    """set (with interpolation_ticks=0 here -> instant) via the force_trigger
+    chain is covered elsewhere; test the interpolated path via a synthetic
+    set event on a nonzero-ticks light."""
+    from c_game_engine_tpu.actors.defs import Input
+    from c_game_engine_tpu.core.step import _push_event
+
+    st = reset(rig)
+    st = run(rig, sfn, st, 5)
+    i_light = idx_of(rig, "GLOBAL_LIGHT")
+    # rig light1 has interpolation_ticks=0 -> instant on 'set'
+    st = st.replace(
+        events=_push_event(st.events, jnp.array(True), jnp.int32(i_light), int(Input.SET))
+    )
+    st = run(rig, sfn, st, 2)
+    assert np.allclose(np.asarray(st.env.light_color), [1, 0, 0, 1])
