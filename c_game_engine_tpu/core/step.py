@@ -126,12 +126,48 @@ def step_batch(cmap, state: EnvState, actions: Actions) -> EnvState:
         p.pos + jnp.array([0.0, 0.25, 0.0]),
     )
 
-    # ---------------------------------- interaction raycast (UpdatePlayer)
+    # ------------------- interaction raycast (UpdatePlayer) + laser beams
+    # The player's interact ray (PlayerPhysics.c:297-315) and every laser's
+    # hitscan (Laser.c:127-158) share ONE kernel launch: per-ray max_dist /
+    # exclude / require_flags make the set heterogeneous. Laser occluders
+    # (CAN_BLOCK_LASERS) are never touched by the contact phase that sits
+    # between here and where the beam lengths are consumed, so casting them
+    # early is behavior-preserving.
+    import numpy as np
+
+    from c_game_engine_tpu.utils.mathx import quat_rotate
+
     cam_pos = p.pos + jnp.array([0.0, 0.25, 0.0])  # camera y offset
     ray_dir = _forward_xyz(yaw, pitch)
-    hit, frac, hit_actor = batched.cast_rays_batched(
-        cmap, state.actors, cam_pos, ray_dir, ACTOR_RAYCAST_MAX_DISTANCE, B_env=B
-    )
+    laser_rows = np.where(np.asarray(cmap.cls) == int(ActorClass.LASER))[0]
+    L = len(laser_rows)
+    laser_hit_rays = laser_frac_rays = l_of = None
+    if L:
+        l_of = jnp.asarray(laser_rows.astype(np.int32))
+        lorig = state.actors.pos[:, l_of]  # [B, L, 3]
+        lquat = state.actors.quat[:, l_of].reshape(B * L, 4)
+        ldirs = quat_rotate(
+            lquat, jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (B * L, 3))
+        ).reshape(B, L, 3)
+        origins = jnp.concatenate([cam_pos[:, None, :], lorig], 1).reshape(B * (L + 1), 3)
+        dirs = jnp.concatenate([ray_dir[:, None, :], ldirs], 1).reshape(B * (L + 1), 3)
+        per_env = lambda head, rest: jnp.tile(jnp.concatenate([head, rest]), (B,))
+        maxd = per_env(jnp.array([ACTOR_RAYCAST_MAX_DISTANCE]), jnp.full((L,), 50.0))
+        excl = per_env(jnp.array([-1], jnp.int32), cmap.siparams[l_of, 1].astype(jnp.int32))
+        rfl = per_env(
+            jnp.array([0], jnp.int32),
+            jnp.full((L,), int(ActorFlags.CAN_BLOCK_LASERS), jnp.int32),
+        )
+        mhit, mfrac, mact = batched.cast_rays_batched(
+            cmap, state.actors, origins, dirs, maxd, exclude=excl, require_flags=rfl, B_env=B
+        )
+        mhit, mfrac, mact = (x.reshape(B, L + 1) for x in (mhit, mfrac, mact))
+        hit, frac, hit_actor = mhit[:, 0], mfrac[:, 0], mact[:, 0]
+        laser_hit_rays, laser_frac_rays = mhit[:, 1:], mfrac[:, 1:]
+    else:
+        hit, frac, hit_actor = batched.cast_rays_batched(
+            cmap, state.actors, cam_pos, ray_dir, ACTOR_RAYCAST_MAX_DISTANCE, B_env=B
+        )
     targeted = jnp.where(hit & (hit_actor >= 0) & ~freecam, hit_actor, -1)
     close_enough = frac * ACTOR_RAYCAST_MAX_DISTANCE < 1.0
 
@@ -297,27 +333,12 @@ def step_batch(cmap, state: EnvState, actions: Actions) -> EnvState:
         lambda s, f, fp: behaviors.contact_phase(cmap, s, f, fp)
     )(state, fired, fired_pi)
 
-    # ---------------------------------------- laser beams (batched raycasts)
-    import numpy as np
-
-    from c_game_engine_tpu.utils.mathx import quat_rotate
-
-    laser_rows = np.where(np.asarray(cmap.cls) == int(ActorClass.LASER))[0]
+    # -------- laser beam lengths (rays already cast in the merged launch)
     laser_hit = jnp.zeros((B, n), bool)
     laser_len = jnp.zeros((B, n), jnp.float32)
-    if len(laser_rows):
-        l_of = jnp.asarray(laser_rows.astype(np.int32))
-        K = len(laser_rows)
-        origins = state.actors.pos[:, l_of].reshape(B * K, 3)
-        quats = state.actors.quat[:, l_of].reshape(B * K, 4)
-        dirs = quat_rotate(quats, jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (B * K, 3)))
-        excl = jnp.tile(cmap.siparams[l_of, 1], (B,))
-        lhit, lfrac, _ = batched.cast_rays_batched(
-            cmap, state.actors, origins, dirs, 50.0,
-            exclude=excl, require_flags=int(ActorFlags.CAN_BLOCK_LASERS), B_env=B,
-        )
-        laser_hit = laser_hit.at[:, l_of].set(lhit.reshape(B, K))
-        laser_len = laser_len.at[:, l_of].set(50.0 * lfrac.reshape(B, K))
+    if L:
+        laser_hit = laser_hit.at[:, l_of].set(laser_hit_rays)
+        laser_len = laser_len.at[:, l_of].set(50.0 * laser_frac_rays)
 
     # ------------------------------------------------- actor updates (vmap)
     camera_pos = jnp.where(freecam[:, None], freecam_pos, new_pos + jnp.array([0.0, 0.25, 0.0]))

@@ -255,12 +255,14 @@ def cast_rays_batched(
     direction,
     max_dist,
     exclude=None,
-    require_flags: int = 0,
+    require_flags=0,
     B_env=None,
 ):
     """Batched hitscan. origin/direction [R, 3] (R rays, flattened over the
     batch); `actors` arrays are [B, N, ...] with R = B * K — pass B_env=B so
     per-env actor state indexes correctly; exclude [R] actor ids.
+    max_dist and require_flags may be scalars or per-ray [R] arrays, so
+    heterogeneous ray sets (interact + lasers) share one kernel launch.
 
     Returns (hit [R], fraction [R], actor_idx [R] with -1 = static world)."""
     R = origin.shape[0]
@@ -318,7 +320,10 @@ def cast_rays_batched(
         & (cmap.motion != int(Motion.NONE))[:, None]
         & (cmap.layer != int(Layer.SENSOR))[:, None]
     )
-    if require_flags:
+    if isinstance(require_flags, jnp.ndarray):
+        req = require_flags[None, :]  # [1, R]
+        solid = solid & ((cmap.flags[:, None] & req) == req)
+    elif require_flags:
         solid = solid & ((cmap.flags & require_flags) == require_flags)[:, None]
     if exclude is not None:
         solid = solid & (jnp.arange(n)[:, None] != exclude[None, :])
