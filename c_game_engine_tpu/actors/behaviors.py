@@ -276,25 +276,31 @@ def update_actors(cmap, state, fired, fired_pi, delta, camera_pos, laser_hit=Non
     )
 
     # ---- env interpolators (GlobalLight/Fog/Tonemap Update) ----
+    # TPU note: all row selections below are dense one-hot contractions over
+    # the tiny N axis instead of argmax+gather — vmapped gathers compile to
+    # standalone gather kernels that dominate this (launch-bound) block.
     env = state.env
     # start_on: first Update applies the configured value instantly
     for klass in (ActorClass.GLOBAL_LIGHT, ActorClass.GLOBAL_FOG, ActorClass.TONEMAP_CONTROLLER):
         pending = active & (cls == int(klass)) & (actors.idata[:, 0] != 0)
         anyp = jnp.any(pending)
-        row = jnp.argmax(pending)
+        # first pending row only (argmax semantics) as a dense mask
+        sel = pending & (jnp.cumsum(pending.astype(jnp.int32)) == 1)
+        pick_vec = lambda a, b: jnp.sum(jnp.where(sel[:, None], cmap.sfparams[:, a:b], 0.0), 0)
+        pick_s = lambda c: jnp.sum(jnp.where(sel, cmap.sfparams[:, c], 0.0))
         if klass == ActorClass.GLOBAL_LIGHT:
             env = env.replace(
-                light_color=jnp.where(anyp, cmap.sfparams[row, 0:4], env.light_color)
+                light_color=jnp.where(anyp, pick_vec(0, 4), env.light_color)
             )
         elif klass == ActorClass.GLOBAL_FOG:
             env = env.replace(
-                fog_color=jnp.where(anyp, cmap.sfparams[row, 0:4], env.fog_color),
-                fog_start=jnp.where(anyp, cmap.sfparams[row, 4], env.fog_start),
-                fog_end=jnp.where(anyp, cmap.sfparams[row, 5], env.fog_end),
+                fog_color=jnp.where(anyp, pick_vec(0, 4), env.fog_color),
+                fog_start=jnp.where(anyp, pick_s(4), env.fog_start),
+                fog_end=jnp.where(anyp, pick_s(5), env.fog_end),
             )
         else:
             env = env.replace(
-                exposure=jnp.where(anyp, cmap.sfparams[row, 0], env.exposure)
+                exposure=jnp.where(anyp, pick_s(0), env.exposure)
             )
         actors = actors.replace(
             idata=actors.idata.at[:, 0].set(
@@ -302,35 +308,35 @@ def update_actors(cmap, state, fired, fired_pi, delta, camera_pos, laser_hit=Non
             )
         )
 
-    # active interpolation channels
-    def interp_factor(chan_actor, chan_start):
-        ticks_into = (tick - chan_start).astype(jnp.float32)
+    # active interpolation channels (one-hot row picks, no gathers)
+    def interp_chan(chan_actor, chan_start):
+        oh = jnp.arange(n) == chan_actor  # [N], all-false when actor = -1
         total = jnp.maximum(
-            cmap.siparams[jnp.clip(chan_actor, 0, n - 1), 0].astype(jnp.float32), 1.0
+            jnp.sum(jnp.where(oh, cmap.siparams[:, 0].astype(jnp.float32), 0.0)), 1.0
         )
+        ticks_into = (tick - chan_start).astype(jnp.float32)
         on = chan_actor >= 0
         f = jnp.clip(ticks_into / total, 0.0, 1.0)
         done = on & (ticks_into >= total)
-        return on, f, done
+        pick_vec = lambda a, b: jnp.sum(jnp.where(oh[:, None], cmap.sfparams[:, a:b], 0.0), 0)
+        pick_s = lambda c: jnp.sum(jnp.where(oh, cmap.sfparams[:, c], 0.0))
+        return on, f, done, pick_vec, pick_s
 
-    on, f, done = interp_factor(env.light_interp_actor, env.light_interp_start)
-    row = jnp.clip(env.light_interp_actor, 0, n - 1)
+    on, f, done, pick_vec, pick_s = interp_chan(env.light_interp_actor, env.light_interp_start)
     env = env.replace(
-        light_color=jnp.where(on, lerp(env.light_interp_prev, cmap.sfparams[row, 0:4], f), env.light_color),
+        light_color=jnp.where(on, lerp(env.light_interp_prev, pick_vec(0, 4), f), env.light_color),
         light_interp_actor=jnp.where(done, -1, env.light_interp_actor),
     )
-    on, f, done = interp_factor(env.fog_interp_actor, env.fog_interp_start)
-    row = jnp.clip(env.fog_interp_actor, 0, n - 1)
+    on, f, done, pick_vec, pick_s = interp_chan(env.fog_interp_actor, env.fog_interp_start)
     env = env.replace(
-        fog_color=jnp.where(on, lerp(env.fog_interp_prev[0:4], cmap.sfparams[row, 0:4], f), env.fog_color),
-        fog_start=jnp.where(on, lerp(env.fog_interp_prev[4], cmap.sfparams[row, 4], f), env.fog_start),
-        fog_end=jnp.where(on, lerp(env.fog_interp_prev[5], cmap.sfparams[row, 5], f), env.fog_end),
+        fog_color=jnp.where(on, lerp(env.fog_interp_prev[0:4], pick_vec(0, 4), f), env.fog_color),
+        fog_start=jnp.where(on, lerp(env.fog_interp_prev[4], pick_s(4), f), env.fog_start),
+        fog_end=jnp.where(on, lerp(env.fog_interp_prev[5], pick_s(5), f), env.fog_end),
         fog_interp_actor=jnp.where(done, -1, env.fog_interp_actor),
     )
-    on, f, done = interp_factor(env.tonemap_interp_actor, env.tonemap_interp_start)
-    row = jnp.clip(env.tonemap_interp_actor, 0, n - 1)
+    on, f, done, pick_vec, pick_s = interp_chan(env.tonemap_interp_actor, env.tonemap_interp_start)
     env = env.replace(
-        exposure=jnp.where(on, lerp(env.tonemap_interp_prev, cmap.sfparams[row, 0], f), env.exposure),
+        exposure=jnp.where(on, lerp(env.tonemap_interp_prev, pick_s(0), f), env.exposure),
         tonemap_interp_actor=jnp.where(done, -1, env.tonemap_interp_actor),
     )
 

@@ -78,7 +78,6 @@ def step_batch(cmap, state: EnvState, actions: Actions) -> EnvState:
     delta = 1.0
     p = state.player
     btn = actions.buttons  # [B, K]
-    bidx = jnp.arange(B)
     fired, fired_pi = signals.empty_fired(n)
     fired = jnp.broadcast_to(fired, (B, *fired.shape))
     fired_pi = jnp.broadcast_to(fired_pi, (B, *fired_pi.shape))
@@ -174,8 +173,11 @@ def step_batch(cmap, state: EnvState, actions: Actions) -> EnvState:
     interact_pressed = btn[:, Button.INTERACT] & allow & ~freecam
     has_held = p.held_actor >= 0
     tgt_c = jnp.clip(targeted, 0, n - 1)
-    tgt_flags = jnp.where(targeted >= 0, cmap.flags[tgt_c], 0)
-    tgt_cls = jnp.where(targeted >= 0, cmap.cls[tgt_c], -1)
+    # one-hot row picks instead of [B]-indexed gathers (gather kernels
+    # don't fuse on TPU; N is tiny so the dense contraction is free)
+    tgt_oh = jnp.arange(n)[None, :] == tgt_c[:, None]  # [B, N]
+    tgt_flags = jnp.where(targeted >= 0, jnp.sum(jnp.where(tgt_oh, cmap.flags[None, :], 0), 1), 0)
+    tgt_cls = jnp.where(targeted >= 0, jnp.sum(jnp.where(tgt_oh, cmap.cls[None, :], 0), 1), -1)
     can_hold = (tgt_flags & int(ActorFlags.CAN_BE_HELD)) != 0
     can_interact = (tgt_flags & int(ActorFlags.INTERACTABLE)) != 0
     is_enemy = (tgt_flags & int(ActorFlags.ENEMY)) != 0
@@ -261,8 +263,9 @@ def step_batch(cmap, state: EnvState, actions: Actions) -> EnvState:
 
     # ---- held actor spring (PlayerPhysics.c:344-386) ----
     held_idx = jnp.clip(p.held_actor, 0, n - 1)
-    held_alive = has_held & actors.active[bidx, held_idx]
-    held_pos = actors.pos[bidx, held_idx]
+    held_oh = jnp.arange(n)[None, :] == held_idx[:, None]  # [B, N] one-hot
+    held_alive = has_held & jnp.any(held_oh & actors.active, 1)
+    held_pos = jnp.sum(jnp.where(held_oh[..., None], actors.pos, 0.0), 1)
     held_off = held_pos - p.pos
     too_far = jnp.sum(held_off * held_off, -1) > HELD_MAX_DIST_SQ
     drop = has_held & (interact_pressed | too_far | ~held_alive)
@@ -271,8 +274,9 @@ def step_batch(cmap, state: EnvState, actions: Actions) -> EnvState:
     target_pt = yaw_fwd * HELD_OFFSET
     spring_vel = (target_pt - held_off) * HELD_SMOOTH
     target_quat = quat_from_axis_angle(jnp.array([0.0, 1.0, 0.0]), yaw)
-    new_quat = quat_normalize(quat_lerp(actors.quat[bidx, held_idx], target_quat, 0.2))
-    held_onehot = (jnp.arange(n)[None, :] == held_idx[:, None]) & keep_held[:, None]
+    held_quat = jnp.sum(jnp.where(held_oh[..., None], actors.quat, 0.0), 1)
+    new_quat = quat_normalize(quat_lerp(held_quat, target_quat, 0.2))
+    held_onehot = held_oh & keep_held[:, None]
     actors = actors.replace(
         vel=jnp.where(held_onehot[..., None], spring_vel[:, None, :], actors.vel),
         omega=jnp.where(held_onehot[..., None], 0.0, actors.omega),
@@ -384,10 +388,10 @@ def _remove_actors_b(state, fired, fired_pi, mask):
         visible=state.actors.visible & ~mask,
     )
     B, n = mask.shape
-    bidx = jnp.arange(B)
     p = state.player
-    tgt_killed = (p.targeted_actor >= 0) & mask[bidx, jnp.clip(p.targeted_actor, 0, n - 1)]
-    held_killed = (p.held_actor >= 0) & mask[bidx, jnp.clip(p.held_actor, 0, n - 1)]
+    rows = jnp.arange(n)[None, :]
+    tgt_killed = (p.targeted_actor >= 0) & jnp.any(mask & (rows == p.targeted_actor[:, None]), 1)
+    held_killed = (p.held_actor >= 0) & jnp.any(mask & (rows == p.held_actor[:, None]), 1)
     p = p.replace(
         targeted_actor=jnp.where(tgt_killed, -1, p.targeted_actor),
         held_actor=jnp.where(held_killed, -1, p.held_actor),
