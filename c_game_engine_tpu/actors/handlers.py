@@ -189,11 +189,18 @@ def apply_round(cmap, state, fired, fired_pi, queue):
         set_i = m_cls(seti_all, klass)
         any_set = jnp.any(set_m)
         any_set_i = jnp.any(set_i)
-        t_row = jnp.argmax(set_m | set_i)
-        instant = any_set_i | (any_set & (interp_ticks[t_row] == 0))
-        start_interp = any_set & (interp_ticks[t_row] != 0)
+        # dense one-hot row pick (argmax-first semantics) — vmapped gathers
+        # compile to unfused gather kernels on TPU, and this runs per round
+        both = set_m | set_i
+        sel = both & (jnp.cumsum(both.astype(jnp.int32)) == 1)
+        t_row = jnp.sum(jnp.where(sel, jnp.arange(n), 0)).astype(jnp.int32)
+        row_ticks = jnp.sum(jnp.where(sel, interp_ticks, 0))
+        pick_vec = lambda a, b: jnp.sum(jnp.where(sel[:, None], cmap.sfparams[:, a:b], 0.0), 0)
+        pick_s = lambda c: jnp.sum(jnp.where(sel, cmap.sfparams[:, c], 0.0))
+        instant = any_set_i | (any_set & (row_ticks == 0))
+        start_interp = any_set & (row_ticks != 0)
         if klass == ActorClass.GLOBAL_LIGHT:
-            target_val = cmap.sfparams[t_row, 0:4]
+            target_val = pick_vec(0, 4)
             env = env.replace(
                 light_color=jnp.where(instant, target_val, env.light_color),
                 light_interp_actor=jnp.where(
@@ -203,8 +210,8 @@ def apply_round(cmap, state, fired, fired_pi, queue):
                 light_interp_prev=jnp.where(start_interp, env.light_color, env.light_interp_prev),
             )
         elif klass == ActorClass.GLOBAL_FOG:
-            target_c = cmap.sfparams[t_row, 0:4]
-            target_se = cmap.sfparams[t_row, 4:6]
+            target_c = pick_vec(0, 4)
+            target_se = pick_vec(4, 6)
             cur = jnp.concatenate([env.fog_color, jnp.stack([env.fog_start, env.fog_end])])
             env = env.replace(
                 fog_color=jnp.where(instant, target_c, env.fog_color),
@@ -217,7 +224,7 @@ def apply_round(cmap, state, fired, fired_pi, queue):
                 fog_interp_prev=jnp.where(start_interp, cur, env.fog_interp_prev),
             )
         else:
-            target_e = cmap.sfparams[t_row, 0]
+            target_e = pick_s(0)
             env = env.replace(
                 exposure=jnp.where(instant, target_e, env.exposure),
                 tonemap_interp_actor=jnp.where(
@@ -242,8 +249,10 @@ def apply_round(cmap, state, fired, fired_pi, queue):
     cam_en = m_cls(recv(Input.ENABLE), ActorClass.CAMERA)
     cam_dis = m_cls(recv(Input.DISABLE), ActorClass.CAMERA)
     cam = state.camera_actor
-    cam = jnp.where(jnp.any(cam_en), jnp.argmax(cam_en), cam)
-    cam = jnp.where(jnp.any(cam_dis) & cam_dis[jnp.clip(cam, 0, n - 1)] & (cam >= 0), -1, cam)
+    first_en = cam_en & (jnp.cumsum(cam_en.astype(jnp.int32)) == 1)
+    cam = jnp.where(jnp.any(cam_en), jnp.sum(jnp.where(first_en, jnp.arange(n), 0)), cam)
+    cam_hit = jnp.any(cam_dis & (jnp.arange(n) == cam))
+    cam = jnp.where(cam_hit & (cam >= 0), -1, cam)
     state = state.replace(camera_actor=cam.astype(jnp.int32))
 
     # ---- logic binary / decimal operands + execute ----

@@ -58,12 +58,17 @@ def expand_outputs(cmap, fired, fired_pi, prev_queue: EventQueue) -> EventQueue:
     valid_edge = cmap.edge_src >= 0
     src = jnp.clip(cmap.edge_src, 0, None)
     out = cmap.edge_out
-    triggered = valid_edge & fired[src, out]
+    # (src, out) picks as a dense one-hot contraction: the edge table is
+    # unbatched, so under vmap this is one [B, N*O] x [N*O, E] reduction
+    # instead of per-env gather kernels (TPU gathers don't fuse)
+    n_out = fired.shape[-1]
+    edge_oh = jnp.arange(fired.size)[:, None] == (src * n_out + out)[None, :]  # [N*O, E]
+    triggered = valid_edge & jnp.any(edge_oh & fired.reshape(-1)[:, None], 0)
 
     # param: edge override if set, else the output's default payload
     has_override = cmap.edge_ptype != int(ParamType.NONE)
     ptype = jnp.where(has_override, cmap.edge_ptype, _OUTPUT_PTYPE[out])
-    default_pi = fired_pi[src, out]
+    default_pi = jnp.sum(jnp.where(edge_oh, fired_pi.reshape(-1)[:, None], 0), 0)
     pi = jnp.where(has_override, cmap.edge_pi, default_pi)
     pf = jnp.where(
         has_override[:, None], cmap.edge_pf,
@@ -77,8 +82,17 @@ def expand_outputs(cmap, fired, fired_pi, prev_queue: EventQueue) -> EventQueue:
     ok = triggered & (slot < EVENT_CAPACITY)
     slot_w = jnp.where(ok, slot, EVENT_CAPACITY)
 
+    # dense placement instead of a dynamic scatter: slot values are unique
+    # per lane, so each queue slot matches at most one edge
+    q_match = jnp.arange(EVENT_CAPACITY)[:, None] == slot_w[None, :]  # [Q, E]
+    q_any = jnp.any(q_match, 1)
+
     def scatter(buf, vals):
-        return buf.at[slot_w].set(vals, mode="drop")
+        placed = jnp.sum(
+            jnp.where(q_match.reshape(q_match.shape + (1,) * (vals.ndim - 1)), vals[None], 0), 1
+        ).astype(buf.dtype)
+        keep = q_any.reshape((EVENT_CAPACITY,) + (1,) * (vals.ndim - 1))
+        return jnp.where(keep, placed, buf)
 
     target = scatter(prev_queue.target, cmap.edge_dst)
     inp = scatter(prev_queue.input, cmap.edge_in)
