@@ -49,18 +49,17 @@ HELD_MAX_DIST_SQ = 6.0  # PlayerPhysics.c:48
 
 def _push_event(events, do_push, target, input_id, ptype=int(ParamType.NONE)):
     """Append one event (per env) to the queue under a boolean flag.
-    Works on single-env ([Q]) and batched ([B, Q]) queues."""
+    Works on single-env ([Q]) and batched ([B, Q]) queues. Dense slot
+    placement (one-hot over the queue axis) instead of a dynamic scatter —
+    per-env scatters compile to unfused kernels on TPU."""
     slot = jnp.clip(events.count, 0, EVENT_CAPACITY - 1)
     ok = do_push & (events.count < EVENT_CAPACITY)
-    if events.target.ndim == 1:
-        idx = (slot,)
-    else:
-        idx = (jnp.arange(events.target.shape[0]), slot)
-    sel = lambda new, old: jnp.where(ok, new, old)
+    hot = ok[..., None] & (jnp.arange(EVENT_CAPACITY) == slot[..., None])  # [..., Q]
+    put = lambda buf, new: jnp.where(hot, new[..., None], buf)
     return events.replace(
-        target=events.target.at[idx].set(sel(target, events.target[idx])),
-        input=events.input.at[idx].set(sel(input_id, events.input[idx])),
-        ptype=events.ptype.at[idx].set(sel(ptype, events.ptype[idx])),
+        target=put(events.target, jnp.asarray(target)),
+        input=put(events.input, jnp.asarray(input_id)),
+        ptype=put(events.ptype, jnp.asarray(ptype)),
         count=events.count + ok.astype(jnp.int32),
         dropped=events.dropped + (do_push & ~ok).astype(jnp.int32),
     )
