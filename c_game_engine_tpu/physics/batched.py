@@ -574,9 +574,12 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
             dwz = dwz + jnp.sum(wz_, 1)
             return dvx, dvy, dvz, dwx, dwy, dwz
 
-        dvx, dvy, dvz, dwx, dwy, dwz = jax.lax.fori_loop(
-            0, SOLVER_ITERS, solver_iter, (dvx, dvy, dvz, dwx, dwy, dwz)
-        )
+        # unrolled (not fori_loop): iterations are pure elementwise chains,
+        # so XLA fuses across them instead of paying per-iteration launches
+        _c = (dvx, dvy, dvz, dwx, dwy, dwz)
+        for _i in range(SOLVER_ITERS):
+            _c = solver_iter(_i, _c)
+        dvx, dvy, dvz, dwx, dwy, dwz = _c
 
         over = jnp.maximum(c_d - PENETRATION_SLOP, 0.0) * BAUMGARTE
         dpx = dpx + jnp.sum(c_nx * over, 1)
@@ -624,7 +627,10 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
             dvz = dvz + rzs[slc] * d_inv_m
             return dvx, dvy, dvz
 
-        dvx, dvy, dvz = jax.lax.fori_loop(0, 2, pair_iter, (dvx, dvy, dvz))
+        _c = (dvx, dvy, dvz)
+        for _i in range(2):  # unrolled for cross-iteration fusion
+            _c = pair_iter(_i, _c)
+        dvx, dvy, dvz = _c
         pushx = jnp.sum(jnp.where(pactive, pnx * 0.3 * pdepth, 0.0), 1)
         pushy = jnp.sum(jnp.where(pactive, pny * 0.3 * pdepth, 0.0), 1)
         pushz = jnp.sum(jnp.where(pactive, pnz * 0.3 * pdepth, 0.0), 1)
@@ -655,10 +661,10 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
 
         return (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz), None
 
-    init = (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz)
-    (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz), _ = jax.lax.scan(
-        substep, init, None, length=n_substeps
-    )
+    carry = (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz)
+    for _s in range(n_substeps):  # unrolled for cross-substep fusion
+        carry, _ = substep(carry, None)
+    (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz) = carry
 
     # scatter dynamic lanes back ([D, B] -> [B, N, 3])
     dpos_new = jnp.stack([dpx, dpy, dpz], -1).transpose(1, 0, 2)  # [B, D, 3]
