@@ -18,7 +18,7 @@ from c_game_engine_tpu.ops.capsule_resolve import T_CHUNK
 BLK = 128
 
 
-def _kernel(tri_ref, ray_ref, out_ref):
+def _kernel(tri_ref, cb_ref, ray_ref, out_ref):
     ox = ray_ref[0:1, :]
     oy = ray_ref[1:2, :]
     oz = ray_ref[2:3, :]
@@ -28,6 +28,24 @@ def _kernel(tri_ref, ray_ref, out_ref):
     maxt = ray_ref[6:7, :]
 
     n_chunks = tri_ref.shape[0] // T_CHUNK
+
+    # XZ AABB of this block's ray segments (triangles are Morton-sorted, so
+    # per-chunk AABBs in SMEM prune whole chunks, as in capsule_resolve)
+    exx = ox + dx * maxt
+    ezz = oz + dz * maxt
+    bxmin = jnp.min(jnp.minimum(ox, exx))
+    bxmax = jnp.max(jnp.maximum(ox, exx))
+    bzmin = jnp.min(jnp.minimum(oz, ezz))
+    bzmax = jnp.max(jnp.maximum(oz, ezz))
+
+    def chunk_loop(ci, tbest):
+        overlap = (
+            (cb_ref[ci, 0] <= bxmax)
+            & (cb_ref[ci, 2] >= bxmin)
+            & (cb_ref[ci, 1] <= bzmax)
+            & (cb_ref[ci, 3] >= bzmin)
+        )
+        return jax.lax.cond(overlap, lambda tb: chunk_body(ci, tb), lambda tb: tb, tbest)
 
     def chunk_body(ci, tbest):
         tri = tri_ref[pl.ds(ci * T_CHUNK, T_CHUNK), :]
@@ -56,12 +74,13 @@ def _kernel(tri_ref, ray_ref, out_ref):
         t = jnp.where(hit, t, 1e30)
         return jnp.minimum(tbest, jnp.min(t, axis=0, keepdims=True))
 
-    tbest = jax.lax.fori_loop(0, n_chunks, chunk_body, jnp.full_like(ox, 1e30))
+    tbest = jax.lax.fori_loop(0, n_chunks, chunk_loop, jnp.full_like(ox, 1e30))
     out_ref[0:1, :] = tbest
 
 
-def ray_tris_pallas(tri16, origin, direction, max_dist):
-    """origin/direction [R, 3] -> t [R] (1e30 = miss). R padded to BLK."""
+def ray_tris_pallas(tri16, chunk_bounds, origin, direction, max_dist):
+    """origin/direction [R, 3] -> t [R] (1e30 = miss). R padded to BLK.
+    chunk_bounds [T/T_CHUNK, 4] XZ AABBs (minx minz maxx maxz)."""
     R = origin.shape[0]
     pad = (-R) % BLK
     rays = jnp.zeros((8, R + pad), jnp.float32)
@@ -69,14 +88,16 @@ def ray_tris_pallas(tri16, origin, direction, max_dist):
     rays = rays.at[3:6, :R].set(direction.T)
     rays = rays.at[6, :R].set(max_dist)
     T = tri16.shape[0]
+    NC = chunk_bounds.shape[0]
     out = pl.pallas_call(
         _kernel,
         grid=((R + pad) // BLK,),
         in_specs=[
             pl.BlockSpec((T, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NC, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, R + pad), jnp.float32),
-    )(tri16, rays)
+    )(tri16, chunk_bounds, rays)
     return out[0, :R]

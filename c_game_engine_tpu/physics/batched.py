@@ -282,7 +282,7 @@ def cast_rays_batched(
         t_pad = (-T) % T_CHUNK
         if t_pad:
             tri16 = jnp.concatenate([tri16, jnp.zeros((t_pad, 16), jnp.float32)], 0)
-        t_static = ray_tris_pallas(tri16, origin, direction, max_dist)
+        t_static = ray_tris_pallas(tri16, cmap.chunk_bounds, origin, direction, max_dist)
         t_static = jnp.where(t_static > 1e29, jnp.inf, t_static)
     else:
         ts = cmap.tri_soa
