@@ -233,10 +233,20 @@ def update_character_batched(cmap, actors, pos, vel, dt, was_on_ground, jumping,
     v = jnp.where(use_step[:, None], v2, v)
     grounded = jnp.where(use_step, g2, grounded)
 
-    # stick-to-floor
+    # stick-to-floor — a full resolve launch, but only consumed by lanes
+    # that just left the ground; skipped batch-globally when nobody needs
+    # it (the common case: everyone stays grounded or airborne)
     want_stick = was_on_ground & (~jumping) & (v[:, 1] <= 1e-4) & (~grounded)
-    dropped = p + jnp.array([0.0, -STICK_DOWN, 0.0])
-    p3, v3, g3 = _resolve_dispatch(cmap, dropped, v, solid_ctx, pallas_ctx)
+
+    def _stick(args):
+        p_, v_ = args
+        return _resolve_dispatch(
+            cmap, p_ + jnp.array([0.0, -STICK_DOWN, 0.0]), v_, solid_ctx, pallas_ctx
+        )
+
+    p3, v3, g3 = jax.lax.cond(
+        jnp.any(want_stick), _stick, lambda a: (a[0], a[1], jnp.zeros(B, bool)), (p, v)
+    )
     stick = want_stick & g3
     p = jnp.where(stick[:, None], p3, p)
     v = jnp.where(stick[:, None], v3, v)
