@@ -33,7 +33,7 @@ from c_game_engine_tpu.physics.character import (
 )
 
 BLK = 128
-T_CHUNK = 128
+T_CHUNK = 64
 ITERS = 4
 
 
