@@ -33,7 +33,7 @@ from c_game_engine_tpu.physics.character import (
 )
 
 BLK = 128
-T_CHUNK = 64
+T_CHUNK = 32
 ITERS = 4
 
 
