@@ -1,14 +1,23 @@
-"""Benchmark harness over the five BASELINE configs (BASELINE.md).
+"""Benchmark harness over the BASELINE configs (BASELINE.md / BASELINE.json).
 
-Usage: python benchmarks/run_all.py [--batch 4096] [--ticks 240]
+Usage: python benchmarks/run_all.py [--batch 4096] [--ticks 240] [--render]
 Writes a markdown table to stdout and benchmarks/results.json.
 
-Configs (BASELINE.json):
+Physics configs (BASELINE.json pairs advanced_doors+button and
+max_box+too_many_lights):
   test            headless fixed-timestep tick + physics
   shapes          collider variety
   stacked         resting stability (physbox stack spawned programmatically)
-  advanced_doors  kinematic doors + triggers + hitscan (with button map)
+  advanced_doors  kinematic doors + triggers + hitscan
+  button          interactable I/O wiring
   max_box         max-extent sector stress (compiled from mapSources JSON)
+  too_many_lights 36-point-light bake stress
+
+--render additionally benchmarks frame throughput (256x256 frames/s/chip)
+on each config.
+
+NOTE: small/dispatch-bound configs are only valid run in isolation — a
+concurrent host workload costs them ~25% (BASELINE.md round-1 note).
 """
 
 from __future__ import annotations
@@ -37,7 +46,9 @@ CONFIGS = {
     "shapes": f"{GMAPS}/shapes.gmap",
     "stacked": f"{GMAPS}/stacked.gmap",
     "advanced_doors": f"{GMAPS}/advanced_doors.gmap",
+    "button": f"{GMAPS}/button.gmap",
     "max_box": f"{JSONS}/max_box.json",  # no shipped .gmap; our JSON compiler
+    "too_many_lights": f"{GMAPS}/too_many_lights.gmap",
 }
 
 
@@ -83,14 +94,51 @@ def bench_config(name, path, batch, ticks):
     }
 
 
+def bench_render(name, path, batch, frames, size=256):
+    """Frame throughput: render `batch` envs `frames` times (state fixed;
+    rendering cost is state-independent)."""
+    from c_game_engine_tpu.render.bundle import build_render_bundle
+    from c_game_engine_tpu.render.raster import render
+
+    cmap = compile_map(path)
+    rb = build_render_bundle(cmap)
+    state = reset_batch(cmap, batch)
+    rfn = jax.jit(
+        lambda s: jax.vmap(lambda e: render(rb, cmap, e, size, size))(s)
+    )
+    img = rfn(state)
+    jax.block_until_ready(img)
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        img = rfn(state)
+    jax.block_until_ready(img)
+    dt = time.perf_counter() - t0
+    fps = batch * frames / dt
+    return {
+        "config": f"{name}_render",
+        "batch": batch,
+        "frames": frames,
+        "size": size,
+        "wall_s": round(dt, 3),
+        "frames_per_sec_per_chip": round(fps, 1),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--ticks", type=int, default=240)
+    ap.add_argument("--render", action="store_true", help="also benchmark frame throughput")
+    ap.add_argument("--render-batch", type=int, default=256)
+    ap.add_argument("--render-frames", type=int, default=4)
+    ap.add_argument("--only", type=str, default=None, help="comma-separated config subset")
     args = ap.parse_args()
 
+    only = set(args.only.split(",")) if args.only else None
     results = []
     for name, path in CONFIGS.items():
+        if only and name not in only:
+            continue
         r = bench_config(name, path, args.batch, args.ticks)
         results.append(r)
         print(
@@ -98,8 +146,22 @@ def main():
             f"({r['actors']} actors, {r['tris']} tris)",
             flush=True,
         )
+        if args.render:
+            rr = bench_render(name, path, args.render_batch, args.render_frames)
+            results.append(rr)
+            print(
+                f"{name + '_render':16s} {rr['frames_per_sec_per_chip']:>14,.0f} frames/s/chip "
+                f"(256x256, batch {rr['batch']})",
+                flush=True,
+            )
 
     out = Path(__file__).parent / "results.json"
+    prev = json.loads(out.read_text()) if out.exists() and only else None
+    if prev:  # partial run: merge over the previous full table
+        merged = {r["config"]: r for r in prev.get("results", [])}
+        for r in results:
+            merged[r["config"]] = r
+        results = list(merged.values())
     out.write_text(json.dumps({"device": str(jax.devices()[0]), "results": results}, indent=1))
     print(f"\nwritten {out}")
 

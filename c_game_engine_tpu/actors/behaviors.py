@@ -266,7 +266,9 @@ def update_actors(cmap, state, fired, fired_pi, delta, camera_pos, laser_hit=Non
     # the actual raycasts run in the batched kernel (physics/batched.py,
     # called from core/step.py); laser_hit/laser_len [N] carry the results
     laser_on = active & (cls == int(ActorClass.LASER)) & (actors.idata[:, 0] != 0)
-    beam_len = jnp.where(laser_hit, laser_len, actors.fdata[:, 0])
+    # on a miss the beam extends to its max length (Laser.c: fraction=1.0
+    # when CastRay reports no hit), not the stale previous length
+    beam_len = jnp.where(laser_hit, laser_len, 50.0)
     new_uv = jnp.mod(actors.fdata[:, 1] + delta / 8.0, 1.0)
     actors = actors.replace(
         fdata=actors.fdata.at[:, 0]

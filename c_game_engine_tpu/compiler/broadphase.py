@@ -15,12 +15,17 @@ from __future__ import annotations
 import numpy as np
 
 CELL_SIZE = 2.0
-INFLATE = 1.2  # query shape half-extent + travel budget
+INFLATE = 1.2  # minimum query margin: capsule 0.45 + travel budget
 
 
-def build_grid(tris: np.ndarray, tri_valid: np.ndarray):
-    """tris: [T,3,3]. Returns dict with grid arrays (numpy):
+def build_grid(tris: np.ndarray, tri_valid: np.ndarray, inflate: float = INFLATE):
+    """tris: [T,3,3]. `inflate` is the query margin — it must cover the
+    largest query shape's support radius + contact slack + per-tick travel;
+    compile_map computes it from the map's actual dynamic bodies instead of
+    trusting the default (ADVICE r1: a hard-coded margin silently drops
+    contacts for oversized bodies). Returns dict with grid arrays (numpy):
     lo [2], inv_cell, shape (gx, gz), cells [gx*gz, L] i32 (pad -1)."""
+    inflate = max(float(inflate), INFLATE)
     valid_idx = np.where(tri_valid)[0]
     if len(valid_idx) == 0:
         return {
@@ -30,8 +35,8 @@ def build_grid(tris: np.ndarray, tri_valid: np.ndarray):
             "cells": np.full((1, 1), -1, np.int32),
         }
     v = tris[valid_idx]  # [T,3,3]
-    t_lo = v.min(axis=1)[:, [0, 2]] - INFLATE
-    t_hi = v.max(axis=1)[:, [0, 2]] + INFLATE
+    t_lo = v.min(axis=1)[:, [0, 2]] - inflate
+    t_hi = v.max(axis=1)[:, [0, 2]] + inflate
     lo = t_lo.min(axis=0)
     hi = t_hi.max(axis=0)
     gx = max(int(np.ceil((hi[0] - lo[0]) / CELL_SIZE)), 1)

@@ -287,10 +287,6 @@ def compile_map(
         else:
             chunk_bounds[ci] = [1e30, 1e30, -1e30, -1e30]  # empty: never overlaps
 
-    from c_game_engine_tpu.compiler.broadphase import build_grid
-
-    grid = build_grid(tris_p, tri_valid)
-
     # --------------------------------------------------------------- inertia
     mass = np.array([r.mass for r in rows] + [0.0] * (n - n_real), np.float32)
     motion = np.array([r.motion for r in rows] + [0] * (n - n_real), np.int32)
@@ -317,6 +313,24 @@ def compile_map(
     # TestActor/NpcJohn allow only Y rotation (TestActor.c:42-46)
     inv_inertia[rot_lock, 0] = 0.0
     inv_inertia[rot_lock, 2] = 0.0
+
+    # Chunk-skip margin for the body-contact kernel (ops/body_contacts.py)
+    # and inflation for the XLA fallback's broadphase grid: a triangle chunk
+    # or grid cell may only be skipped for a body when it provably cannot
+    # produce a manifold candidate (depth > -CAND_SLACK, see
+    # physics/batched.py cand_live). Worst case = the largest dynamic body's
+    # support radius (half-extent diagonal) + that slack; computed from the
+    # actual map content instead of hard-coding (ADVICE r1: a too-small
+    # margin silently drops contacts and lets bodies tunnel).
+    BODY_CAND_SLACK = 0.3
+    dyn_diag = (
+        float(np.sqrt((halfext[dynamic] ** 2).sum(-1)).max()) if dynamic.any() else 0.0
+    )
+    body_margin = dyn_diag + BODY_CAND_SLACK + 0.05
+
+    from c_game_engine_tpu.compiler.broadphase import build_grid
+
+    grid = build_grid(tris_p, tri_valid, inflate=body_margin)
 
     # ---------------------------------------------------------------- render
     mv, mi, mt, ms = [], [], [], []
@@ -373,6 +387,7 @@ def compile_map(
         "sky_texture": gmap.sky_texture,
         "resolver": resolver,
         "grid_shape": grid["shape"],
+        "body_margin": body_margin,
     }
 
     return CompiledMap(

@@ -147,19 +147,37 @@ def step_batch(cmap, state: EnvState, actions: Actions) -> EnvState:
         ldirs = quat_rotate(
             lquat, jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (B * L, 3))
         ).reshape(B, L, 3)
-        origins = jnp.concatenate([cam_pos[:, None, :], lorig], 1).reshape(B * (L + 1), 3)
-        dirs = jnp.concatenate([ray_dir[:, None, :], ldirs], 1).reshape(B * (L + 1), 3)
-        per_env = lambda head, rest: jnp.tile(jnp.concatenate([head, rest]), (B,))
-        maxd = per_env(jnp.array([ACTOR_RAYCAST_MAX_DISTANCE]), jnp.full((L,), 50.0))
-        excl = per_env(jnp.array([-1], jnp.int32), cmap.siparams[l_of, 1].astype(jnp.int32))
-        rfl = per_env(
+        # kind-major ray layout (all interact rays, then each laser's rays):
+        # a laser sits at the same spot in every env, so each 128-ray kernel
+        # block gets a tight chunk list (ops/chunk_compact.py); interleaving
+        # would smear every block's AABB across all ray kinds
+        origins = jnp.concatenate(
+            [cam_pos, lorig.transpose(1, 0, 2).reshape(L * B, 3)], 0
+        )
+        dirs = jnp.concatenate(
+            [ray_dir, ldirs.transpose(1, 0, 2).reshape(L * B, 3)], 0
+        )
+        by_kind = lambda head, rest: jnp.concatenate(
+            [jnp.broadcast_to(head, (B,) + head.shape[1:]), jnp.repeat(rest, B, 0)]
+        )
+        maxd = by_kind(jnp.array([ACTOR_RAYCAST_MAX_DISTANCE]), jnp.full((L,), 50.0))
+        excl = by_kind(jnp.array([-1], jnp.int32), cmap.siparams[l_of, 1].astype(jnp.int32))
+        rfl = by_kind(
             jnp.array([0], jnp.int32),
             jnp.full((L,), int(ActorFlags.CAN_BLOCK_LASERS), jnp.int32),
         )
+        # triple lasers hit only the static world (Laser.c:64-72 restricts
+        # them to BROAD_PHASE_LAYER_STATIC; normal lasers also hit dynamic
+        # bodies that pass the CAN_BLOCK_LASERS body filter)
+        from c_game_engine_tpu.actors.defs import LaserHeight
+
+        trip = cmap.siparams[l_of, 0] == int(LaserHeight.TRIPLE)
+        stat = by_kind(jnp.array([False]), trip)
         mhit, mfrac, mact = batched.cast_rays_batched(
-            cmap, state.actors, origins, dirs, maxd, exclude=excl, require_flags=rfl, B_env=B
+            cmap, state.actors, origins, dirs, maxd, exclude=excl, require_flags=rfl,
+            B_env=B, static_only=stat, layout="kind_major",
         )
-        mhit, mfrac, mact = (x.reshape(B, L + 1) for x in (mhit, mfrac, mact))
+        mhit, mfrac, mact = (x.reshape(L + 1, B).T for x in (mhit, mfrac, mact))
         hit, frac, hit_actor = mhit[:, 0], mfrac[:, 0], mact[:, 0]
         laser_hit_rays, laser_frac_rays = mhit[:, 1:], mfrac[:, 1:]
     else:
@@ -267,7 +285,9 @@ def step_batch(cmap, state: EnvState, actions: Actions) -> EnvState:
     held_pos = jnp.sum(jnp.where(held_oh[..., None], actors.pos, 0.0), 1)
     held_off = held_pos - p.pos
     too_far = jnp.sum(held_off * held_off, -1) > HELD_MAX_DIST_SQ
-    drop = has_held & (interact_pressed | too_far | ~held_alive)
+    # E only drops when the character wasn't contacting the held body last
+    # tick (canDropHeldActor veto, PlayerPhysics.c:95-101,338-339)
+    drop = has_held & ((interact_pressed & p.can_drop_held) | too_far | ~held_alive)
     keep_held = held_alive & ~drop
     yaw_fwd = jnp.stack([-sy, jnp.zeros(B), -cy], -1)
     target_pt = yaw_fwd * HELD_OFFSET
@@ -294,6 +314,7 @@ def step_batch(cmap, state: EnvState, actions: Actions) -> EnvState:
 
     # ------------------------------------ character update (ExtendedUpdate)
     old_xz = p.pos[:, jnp.array([0, 2])]
+    held_i32 = held_actor.astype(jnp.int32)
     new_pos, new_vel, on_ground = batched.update_character_batched(
         cmap,
         state.actors,
@@ -303,9 +324,47 @@ def step_batch(cmap, state: EnvState, actions: Actions) -> EnvState:
         p.on_ground,
         btn[:, Button.JUMP] & allow,
         noclip,
+        exclude_idx=held_i32,
     )
     new_pos = jnp.where(freecam[:, None], p.pos, new_pos)
     new_vel = jnp.where(freecam[:, None], p.vel, new_vel)
+
+    # canDropHeldActor for NEXT tick (PlayerPhysics.c:95-101): a candidate
+    # contact between the character and the held body this tick vetoes the
+    # next E-drop. Single-box capsule overlap test at the post-update pose.
+    from c_game_engine_tpu.physics import geometry_soa as gsoa
+    from c_game_engine_tpu.physics.character import (
+        CAPSULE_HALF_HEIGHT,
+        CAPSULE_RADIUS,
+    )
+
+    held_next_oh = (jnp.arange(n)[None, :] == jnp.clip(held_i32, 0, n - 1)[:, None]) & (
+        held_i32 >= 0
+    )[:, None]
+    hb_pos = jnp.sum(jnp.where(held_next_oh[..., None], state.actors.pos, 0.0), 1)
+    hb_quat = jnp.sum(jnp.where(held_next_oh[..., None], state.actors.quat, 0.0), 1)
+    pick_row = lambda a: jnp.sum(jnp.where(held_next_oh, a[None, :], 0.0), 1)
+    hqx, hqy, hqz, hqw = (hb_quat[:, k] for k in range(4))
+    scx, scy, scz = (pick_row(cmap.shape_center[:, k]) for k in range(3))
+    rx_, ry_, rz_ = gsoa.quat_rotate_soa(hqx, hqy, hqz, hqw, scx, scy, scz)
+    hox, hoy, hoz = hb_pos[:, 0] + rx_, hb_pos[:, 1] + ry_, hb_pos[:, 2] + rz_
+    hhx, hhy, hhz = (pick_row(cmap.halfext[:, k]) for k in range(3))
+    cpx, cpy, cpz = new_pos[:, 0], new_pos[:, 1], new_pos[:, 2]
+    sy0c, sy1c = cpy - CAPSULE_HALF_HEIGHT, cpy + CAPSULE_HALF_HEIGHT
+    wx, wy, wz = gsoa.closest_point_on_obb_soa(
+        cpx, cpy, cpz, hox, hoy, hoz, hqx, hqy, hqz, hqw, hhx, hhy, hhz
+    )
+    for _ in range(2):
+        spx, spy, spz = gsoa.closest_point_on_vseg_soa(wx, wy, wz, cpx, sy0c, sy1c, cpz)
+        wx, wy, wz = gsoa.closest_point_on_obb_soa(
+            spx, spy, spz, hox, hoy, hoz, hqx, hqy, hqz, hqw, hhx, hhy, hhz
+        )
+    spx, spy, spz = gsoa.closest_point_on_vseg_soa(wx, wy, wz, cpx, sy0c, sy1c, cpz)
+    hdist = jnp.sqrt((spx - wx) ** 2 + (spy - wy) ** 2 + (spz - wz) ** 2)
+    # Jolt CharacterVirtual collects candidate contacts within its 0.02
+    # character padding
+    touching = (held_i32 >= 0) & (hdist - CAPSULE_RADIUS < 0.02)
+    can_drop_next = allow & ~touching
 
     # -------------------------------------------- view bob (MapPhysics.c:76-84)
     dist = jnp.linalg.norm(new_pos[:, jnp.array([0, 2])] - old_xz, axis=-1)
@@ -322,10 +381,10 @@ def step_batch(cmap, state: EnvState, actions: Actions) -> EnvState:
             noclip=noclip,
             freecam=freecam,
             freecam_pos=freecam_pos,
-            held_actor=held_actor.astype(jnp.int32),
+            held_actor=held_i32,
             targeted_actor=targeted.astype(jnp.int32),
             targeted_fraction=frac,
-            can_drop_held=jnp.ones(B, bool),
+            can_drop_held=can_drop_next,
             view_bob=view_bob,
             crosshair=crosshair.astype(jnp.int32),
         )

@@ -25,9 +25,7 @@ BLK = 128
 K = 4
 
 
-def _kernel(tri_ref, cb_ref, body_ref, out_ref, *, D):
-    n_chunks = tri_ref.shape[0] // T_CHUNK
-
+def _kernel(tri_ref, idx_ref, cnt_ref, body_ref, out_ref, *, D):
     for d in range(D):
         row = lambda k: body_ref[k, d : d + 1, :]  # [1, BLK]
         ccx, ccy, ccz = row(0), row(1), row(2)
@@ -40,20 +38,11 @@ def _kernel(tri_ref, cb_ref, body_ref, out_ref, *, D):
         # running top-K: lists of ([1, BLK]) tuples, sorted desc by depth
         best = [[neg, zero, zero + 1.0, zero, zero, zero, zero] for _ in range(K)]
 
-        MARGIN = 1.5  # body support radius + travel
-        bxmin = jnp.min(ccx) - MARGIN
-        bxmax = jnp.max(ccx) + MARGIN
-        bzmin = jnp.min(ccz) - MARGIN
-        bzmax = jnp.max(ccz) + MARGIN
-
-        def chunk_body(ci, best_flat):
-            overlap = (
-                (cb_ref[ci, 0] <= bxmax)
-                & (cb_ref[ci, 2] >= bxmin)
-                & (cb_ref[ci, 1] <= bzmax)
-                & (cb_ref[ci, 3] >= bzmin)
-            )
-            return jax.lax.cond(overlap, lambda bf: _chunk_do(ci, bf), lambda bf: bf, best_flat)
+        # compacted per-(block, body) chunk list (ops/chunk_compact.py):
+        # visits only chunks within the compile-time body margin of this
+        # block's body-d AABB; inactive/padded body lanes get cnt 0
+        def chunk_body(j, best_flat):
+            return _chunk_do(idx_ref[0, d, j], best_flat)
 
         def _chunk_do(ci, best_flat):
             best = [best_flat[i * 7 : (i + 1) * 7] for i in range(K)]
@@ -83,15 +72,22 @@ def _kernel(tri_ref, cb_ref, body_ref, out_ref, *, D):
             r_sup = jnp.abs(lx) * hx + jnp.abs(ly) * hy + jnp.abs(lz) * hz
             depth = jnp.where((tvalid > 0.5) & (on > 0.5), r_sup - signed, -1e30)
 
-            # chunk top-K by repeated max+mask, inserted into the running set
+            # chunk top-K by repeated max+mask, inserted into the running set.
+            # Ties take the first (lowest-index) lane — argmax semantics of
+            # the XLA fallback; averaging tied rows would yield a non-unit
+            # normal (ADVICE r1).
+            from c_game_engine_tpu.ops.capsule_resolve import _first_row
+
             work = depth
             for _k in range(K):
                 m = jnp.max(work, axis=0, keepdims=True)
                 is_m = work == m
-                cnt = jnp.maximum(jnp.sum(is_m, axis=0, keepdims=True).astype(jnp.float32), 1.0)
-                pick = lambda a: jnp.sum(jnp.where(is_m, a, 0.0), 0, keepdims=True) / cnt
+                first = is_m & (
+                    _first_row(is_m) == jax.lax.broadcasted_iota(jnp.int32, is_m.shape, 0)
+                )
+                pick = lambda a: jnp.sum(jnp.where(first, a, 0.0), 0, keepdims=True)
                 cand = [m, pick(nx), pick(ny), pick(nz), pick(qtx), pick(qty), pick(qtz)]
-                work = jnp.where(is_m, -1e30, work)
+                work = jnp.where(first, -1e30, work)
                 # insertion: bubble cand down the sorted best list
                 for slot in range(K):
                     swap = cand[0] > best[slot][0]
@@ -100,32 +96,49 @@ def _kernel(tri_ref, cb_ref, body_ref, out_ref, *, D):
                     best[slot] = new_slot
             return sum(best, [])
 
-        best_flat = jax.lax.fori_loop(0, n_chunks, chunk_body, sum(best, []))
+        best_flat = jax.lax.fori_loop(0, cnt_ref[0, 0, d], chunk_body, sum(best, []))
         for k_ in range(K):
             for c_ in range(7):
                 out_ref[c_, d * K + k_ : d * K + k_ + 1, :] = best_flat[k_ * 7 + c_]
         out_ref[7, d * K : (d + 1) * K, :] = jnp.zeros((K, ccx.shape[1]), jnp.float32)
 
 
-def body_contacts_pallas(tri16, chunk_bounds, body11, D):
+def body_contacts_pallas(tri16, chunk_bounds, body11, D, margin):
     """tri16 [T, 16]; chunk_bounds [T/T_CHUNK, 4]; body11 [16, D, B] comps
-    (ccx ccy ccz qx qy qz qw hx hy hz on ...). Returns [8, D*K, B]: depth
-    nx ny nz px py pz pad."""
+    (ccx ccy ccz qx qy qz qw hx hy hz on ...); margin = chunk skip radius,
+    scalar or per-body [D] (support diagonal + candidate slack). Returns
+    [8, D*K, B]: depth nx ny nz px py pz pad."""
     import functools
+
+    from c_game_engine_tpu.ops.chunk_compact import block_minmax, compact_chunk_lists
 
     B = body11.shape[2]
     assert B % BLK == 0
     T = tri16.shape[0]
     NC = chunk_bounds.shape[0]
+
+    # per-(block, body) compacted chunk lists; lanes with on==0 (inactive or
+    # padded dyn slots) are excluded from the AABB so fully-off bodies cost
+    # zero chunk visits
+    on = body11[10] > 0.5  # [D, B]
+    xmin, xmax = block_minmax(body11[0], BLK, mask=on)  # [D, G]
+    zmin, zmax = block_minmax(body11[2], BLK, mask=on)
+    idx, cnt = compact_chunk_lists(
+        chunk_bounds, xmin, xmax, zmin, zmax, margin
+    )  # [D, G, NC], [D, G]
+    idx = idx.transpose(1, 0, 2)  # [G, D, NC]
+    cnt = cnt.T[:, None, :]  # [G, 1, D] (SMEM windows: last two dims full)
+
     out = pl.pallas_call(
         functools.partial(_kernel, D=D),
         grid=(B // BLK,),
         in_specs=[
             pl.BlockSpec((T, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NC, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, D, NC), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, D), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((16, D, BLK), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((8, D * K, BLK), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, D * K, B), jnp.float32),
-    )(tri16, chunk_bounds, body11)
+    )(tri16, idx, cnt, body11)
     return out

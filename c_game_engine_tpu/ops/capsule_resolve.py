@@ -86,6 +86,13 @@ def _qrot(qx, qy, qz, qw, vx, vy, vz):
     )
 
 
+def _first_row(m):
+    """Row index (along axis 0) of the first True per column; m.shape[0] if
+    none. keepdims form, int32."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, m.shape, 0)
+    return jnp.min(jnp.where(m, ii, m.shape[0]), axis=0, keepdims=True)
+
+
 def _chunk_best(px, py, pz, sy0, sy1, tri):
     """Deepest capsule contact against one triangle chunk.
     tri: [T_CHUNK, 16]; returns (depth [1,BLK], normal comps [1,BLK])."""
@@ -118,15 +125,18 @@ def _chunk_best(px, py, pz, sy0, sy1, tri):
     depth = jnp.where(tvalid > 0.5, CAPSULE_RADIUS - signed, -1e30)
 
     best = jnp.max(depth, axis=0, keepdims=True)
+    # first-deepest wins on ties (argmax semantics of the XLA fallback in
+    # physics/batched.py; averaging tied normals would break unit length).
+    # iota+min instead of cumsum: cumsum has no Pallas TPU lowering.
     m = depth == best
-    cnt = jnp.maximum(jnp.sum(m, axis=0, keepdims=True).astype(jnp.float32), 1.0)
-    wnx = jnp.sum(jnp.where(m, nx, 0.0), 0, keepdims=True) / cnt
-    wny = jnp.sum(jnp.where(m, ny, 0.0), 0, keepdims=True) / cnt
-    wnz = jnp.sum(jnp.where(m, nz, 0.0), 0, keepdims=True) / cnt
+    first = m & (_first_row(m) == jax.lax.broadcasted_iota(jnp.int32, m.shape, 0))
+    wnx = jnp.sum(jnp.where(first, nx, 0.0), 0, keepdims=True)
+    wny = jnp.sum(jnp.where(first, ny, 0.0), 0, keepdims=True)
+    wnz = jnp.sum(jnp.where(first, nz, 0.0), 0, keepdims=True)
     return best, wnx, wny, wnz
 
 
-def _kernel(tri_ref, cb_ref, box_ref, bh_ref, pin_ref, vin_ref, pout_ref, vout_ref, g_ref):
+def _kernel(tri_ref, idx_ref, cnt_ref, box_ref, bh_ref, pin_ref, vin_ref, pout_ref, vout_ref, g_ref):
     px = pin_ref[0:1, :]
     py = pin_ref[1:2, :]
     pz = pin_ref[2:3, :]
@@ -135,45 +145,29 @@ def _kernel(tri_ref, cb_ref, box_ref, bh_ref, pin_ref, vin_ref, pout_ref, vout_r
     vz = vin_ref[2:3, :]
     grounded = jnp.zeros_like(px)
 
-    n_chunks = tri_ref.shape[0] // T_CHUNK
-
     for _ in range(ITERS):
         sy0 = py - CAPSULE_HALF_HEIGHT
         sy1 = py + CAPSULE_HALF_HEIGHT
 
-        # env-block XZ bounds for chunk skipping (MARGIN covers capsule
-        # radius + per-iteration travel)
-        MARGIN = 1.0
-        bxmin = jnp.min(px) - MARGIN
-        bxmax = jnp.max(px) + MARGIN
-        bzmin = jnp.min(pz) - MARGIN
-        bzmax = jnp.max(pz) + MARGIN
-
-        def chunk_body(ci, acc):
-            overlap = (
-                (cb_ref[ci, 0] <= bxmax)
-                & (cb_ref[ci, 2] >= bxmin)
-                & (cb_ref[ci, 1] <= bzmax)
-                & (cb_ref[ci, 3] >= bzmin)
+        # compacted chunk list for this env block (ops/chunk_compact.py):
+        # only chunks whose XZ AABB overlaps the block's capsule bounds are
+        # visited; dynamic trip count, no branches
+        def chunk_body(j, acc):
+            ci = idx_ref[0, 0, j]
+            best, bnx, bny, bnz = acc
+            tri = tri_ref[pl.ds(ci * T_CHUNK, T_CHUNK), :]
+            cb, cnx, cny, cnz = _chunk_best(px, py, pz, sy0, sy1, tri)
+            better = cb > best
+            return (
+                jnp.where(better, cb, best),
+                jnp.where(better, cnx, bnx),
+                jnp.where(better, cny, bny),
+                jnp.where(better, cnz, bnz),
             )
-
-            def do(acc):
-                best, bnx, bny, bnz = acc
-                tri = tri_ref[pl.ds(ci * T_CHUNK, T_CHUNK), :]
-                cb, cnx, cny, cnz = _chunk_best(px, py, pz, sy0, sy1, tri)
-                better = cb > best
-                return (
-                    jnp.where(better, cb, best),
-                    jnp.where(better, cnx, bnx),
-                    jnp.where(better, cny, bny),
-                    jnp.where(better, cnz, bnz),
-                )
-
-            return jax.lax.cond(overlap, do, lambda a: a, acc)
 
         zero = jnp.zeros_like(px)
         best, wnx, wny, wnz = jax.lax.fori_loop(
-            0, n_chunks, chunk_body, (zero - 1e30, zero, zero + 1.0, zero)
+            0, cnt_ref[0, 0, 0], chunk_body, (zero - 1e30, zero, zero + 1.0, zero)
         )
 
         # ---- boxes: alternating projection segment <-> OBB ----
@@ -208,10 +202,10 @@ def _kernel(tri_ref, cb_ref, box_ref, bh_ref, pin_ref, vin_ref, pout_ref, vout_r
         depth_b = jnp.where(bmask > 0.5, CAPSULE_RADIUS - bdist, -1e30)
         bb = jnp.max(depth_b, axis=0, keepdims=True)
         mB = depth_b == bb
-        cntb = jnp.maximum(jnp.sum(mB, axis=0, keepdims=True).astype(jnp.float32), 1.0)
-        bbx = jnp.sum(jnp.where(mB, ddx * binv, 0.0), 0, keepdims=True) / cntb
-        bby = jnp.sum(jnp.where(mB, ddy * binv, 0.0), 0, keepdims=True) / cntb
-        bbz = jnp.sum(jnp.where(mB, ddz * binv, 0.0), 0, keepdims=True) / cntb
+        firstB = mB & (_first_row(mB) == jax.lax.broadcasted_iota(jnp.int32, mB.shape, 0))
+        bbx = jnp.sum(jnp.where(firstB, ddx * binv, 0.0), 0, keepdims=True)
+        bby = jnp.sum(jnp.where(firstB, ddy * binv, 0.0), 0, keepdims=True)
+        bbz = jnp.sum(jnp.where(firstB, ddz * binv, 0.0), 0, keepdims=True)
 
         use_box = bb > best
         best = jnp.where(use_box, bb, best)
@@ -251,11 +245,24 @@ def resolve_capsule_pallas(tri16, chunk_bounds, box8, boxh, pos, vel):
     box8:  [8, N, B] per-env box comps (ox oy oz qx qy qz qw mask)
     boxh:  [4, N, B] half extents
     """
+    from c_game_engine_tpu.ops.chunk_compact import block_minmax, compact_chunk_lists
+
     B = pos.shape[0]
     assert B % BLK == 0, "batch must be a multiple of 128"
     assert tri16.shape[0] % T_CHUNK == 0
     pin = jnp.zeros((8, B), jnp.float32).at[0:3].set(pos.T)
     vin = jnp.zeros((8, B), jnp.float32).at[0:3].set(vel.T)
+
+    # per-block compacted chunk lists. MARGIN 1.0 covers the capsule radius
+    # (0.2) + contact tolerance + the <=4 resolve pushes per call.
+    MARGIN = 1.0
+    xmin, xmax = block_minmax(pos[:, 0], BLK)
+    zmin, zmax = block_minmax(pos[:, 2], BLK)
+    idx, cnt = compact_chunk_lists(chunk_bounds, xmin, xmax, zmin, zmax, MARGIN)
+    # SMEM windows must keep the last two dims equal to the array's; give
+    # the per-block axis a leading position
+    idx = idx[:, None, :]  # [G, 1, NC]
+    cnt = cnt[:, None, None]  # [G, 1, 1]
 
     n_blocks = B // BLK
     T = tri16.shape[0]
@@ -266,7 +273,8 @@ def resolve_capsule_pallas(tri16, chunk_bounds, box8, boxh, pos, vel):
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((T, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NC, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, NC), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, N, BLK), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, N, BLK), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -282,5 +290,5 @@ def resolve_capsule_pallas(tri16, chunk_bounds, box8, boxh, pos, vel):
             jax.ShapeDtypeStruct((8, B), jnp.float32),
             jax.ShapeDtypeStruct((1, B), jnp.float32),
         ],
-    )(tri16, chunk_bounds, box8, boxh, pin, vin)
+    )(tri16, idx, cnt, box8, boxh, pin, vin)
     return pout[0:3].T, vout[0:3].T, g[0] > 0.5

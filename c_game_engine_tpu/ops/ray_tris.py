@@ -18,7 +18,7 @@ from c_game_engine_tpu.ops.capsule_resolve import T_CHUNK
 BLK = 128
 
 
-def _kernel(tri_ref, cb_ref, ray_ref, out_ref):
+def _kernel(tri_ref, idx_ref, cnt_ref, ray_ref, out_ref):
     ox = ray_ref[0:1, :]
     oy = ray_ref[1:2, :]
     oz = ray_ref[2:3, :]
@@ -27,25 +27,8 @@ def _kernel(tri_ref, cb_ref, ray_ref, out_ref):
     dz = ray_ref[5:6, :]
     maxt = ray_ref[6:7, :]
 
-    n_chunks = tri_ref.shape[0] // T_CHUNK
-
-    # XZ AABB of this block's ray segments (triangles are Morton-sorted, so
-    # per-chunk AABBs in SMEM prune whole chunks, as in capsule_resolve)
-    exx = ox + dx * maxt
-    ezz = oz + dz * maxt
-    bxmin = jnp.min(jnp.minimum(ox, exx))
-    bxmax = jnp.max(jnp.maximum(ox, exx))
-    bzmin = jnp.min(jnp.minimum(oz, ezz))
-    bzmax = jnp.max(jnp.maximum(oz, ezz))
-
-    def chunk_loop(ci, tbest):
-        overlap = (
-            (cb_ref[ci, 0] <= bxmax)
-            & (cb_ref[ci, 2] >= bxmin)
-            & (cb_ref[ci, 1] <= bzmax)
-            & (cb_ref[ci, 3] >= bzmin)
-        )
-        return jax.lax.cond(overlap, lambda tb: chunk_body(ci, tb), lambda tb: tb, tbest)
+    def chunk_loop(j, tbest):
+        return chunk_body(idx_ref[0, 0, j], tbest)
 
     def chunk_body(ci, tbest):
         tri = tri_ref[pl.ds(ci * T_CHUNK, T_CHUNK), :]
@@ -74,19 +57,34 @@ def _kernel(tri_ref, cb_ref, ray_ref, out_ref):
         t = jnp.where(hit, t, 1e30)
         return jnp.minimum(tbest, jnp.min(t, axis=0, keepdims=True))
 
-    tbest = jax.lax.fori_loop(0, n_chunks, chunk_loop, jnp.full_like(ox, 1e30))
+    tbest = jax.lax.fori_loop(0, cnt_ref[0, 0, 0], chunk_loop, jnp.full_like(ox, 1e30))
     out_ref[0:1, :] = tbest
 
 
 def ray_tris_pallas(tri16, chunk_bounds, origin, direction, max_dist):
     """origin/direction [R, 3] -> t [R] (1e30 = miss). R padded to BLK.
     chunk_bounds [T/T_CHUNK, 4] XZ AABBs (minx minz maxx maxz)."""
+    from c_game_engine_tpu.ops.chunk_compact import block_minmax, compact_chunk_lists
+
     R = origin.shape[0]
     pad = (-R) % BLK
     rays = jnp.zeros((8, R + pad), jnp.float32)
     rays = rays.at[0:3, :R].set(origin.T)
     rays = rays.at[3:6, :R].set(direction.T)
     rays = rays.at[6, :R].set(max_dist)
+
+    # per-block compacted chunk lists over the ray-segment XZ AABBs
+    # (padded lanes have zero origin/direction — a degenerate point query)
+    exx = rays[0] + rays[3] * rays[6]
+    ezz = rays[2] + rays[5] * rays[6]
+    xmin, _ = block_minmax(jnp.minimum(rays[0], exx), BLK)
+    _, xmax = block_minmax(jnp.maximum(rays[0], exx), BLK)
+    zmin, _ = block_minmax(jnp.minimum(rays[2], ezz), BLK)
+    _, zmax = block_minmax(jnp.maximum(rays[2], ezz), BLK)
+    idx, cnt = compact_chunk_lists(chunk_bounds, xmin, xmax, zmin, zmax, 0.0)
+    idx = idx[:, None, :]  # [G, 1, NC]
+    cnt = cnt[:, None, None]  # [G, 1, 1]
+
     T = tri16.shape[0]
     NC = chunk_bounds.shape[0]
     out = pl.pallas_call(
@@ -94,10 +92,11 @@ def ray_tris_pallas(tri16, chunk_bounds, origin, direction, max_dist):
         grid=((R + pad) // BLK,),
         in_specs=[
             pl.BlockSpec((T, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NC, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, NC), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, R + pad), jnp.float32),
-    )(tri16, chunk_bounds, rays)
+    )(tri16, idx, cnt, rays)
     return out[0, :R]

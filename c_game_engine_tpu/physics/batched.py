@@ -32,9 +32,18 @@ from c_game_engine_tpu.physics.character import (
     STICK_DOWN,
 )
 
+def _use_pallas() -> bool:
+    """Pallas kernels on TPU; CGE_FORCE_XLA=1 forces the XLA fallback even
+    there (used by tests/test_tpu_parity.py to cross-validate the paths)."""
+    import os
+
+    return jax.default_backend() == "tpu" and not os.environ.get("CGE_FORCE_XLA")
+
+
 GRAVITY_Y = -9.81
 MAP_FRICTION = 4.25
 SOLVER_ITERS = 8
+PAIR_ITERS = 2
 BAUMGARTE = 0.2
 PENETRATION_SLOP = 0.005
 RELAX = 0.7
@@ -194,13 +203,22 @@ def _make_pallas_ctx(cmap, solid_ctx):
     return tri16, cb, box8, boxh
 
 
-def update_character_batched(cmap, actors, pos, vel, dt, was_on_ground, jumping, noclip):
+def update_character_batched(
+    cmap, actors, pos, vel, dt, was_on_ground, jumping, noclip, exclude_idx=None
+):
     """Batched CharacterVirtual step (semantics of
-    character.update_character). pos/vel [B,3], flags [B]."""
+    character.update_character). pos/vel [B,3], flags [B]. exclude_idx [B]
+    removes one actor's collider per env (the held body — the reference's
+    OnContactValidate rejects contacts with it, PlayerPhysics.c:95-101)."""
     B = pos.shape[0]
-    solid_ctx = _solid_actor_soa(cmap, actors, B)
+    solid_t, box_o, box_q, box_h = _solid_actor_soa(cmap, actors, B)
+    if exclude_idx is not None:
+        solid_t = solid_t & (
+            jnp.arange(cmap.num_actors)[:, None] != exclude_idx[None, :]
+        )
+    solid_ctx = (solid_t, box_o, box_q, box_h)
     pallas_ctx = (
-        _make_pallas_ctx(cmap, solid_ctx) if jax.default_backend() == "tpu" else None
+        _make_pallas_ctx(cmap, solid_ctx) if _use_pallas() else None
     )
     new_pos = pos + vel * dt
     lifted = new_pos + jnp.array([0.0, STEP_UP, 0.0])
@@ -267,12 +285,19 @@ def cast_rays_batched(
     exclude=None,
     require_flags=0,
     B_env=None,
+    static_only=None,
+    layout="interleaved",
 ):
     """Batched hitscan. origin/direction [R, 3] (R rays, flattened over the
     batch); `actors` arrays are [B, N, ...] with R = B * K — pass B_env=B so
     per-env actor state indexes correctly; exclude [R] actor ids.
     max_dist and require_flags may be scalars or per-ray [R] arrays, so
     heterogeneous ray sets (interact + lasers) share one kernel launch.
+    static_only [R] bool restricts a ray to the static world (the triple
+    laser's broadphase filter, Laser.c:64-72: BROAD_PHASE_LAYER_STATIC only).
+    layout: how the K rays of each env are flattened — "interleaved" = env-
+    major [e0k0, e0k1, ...], "kind_major" = [k0 for all envs, k1 ...] (the
+    latter keeps kernel blocks spatially coherent).
 
     Returns (hit [R], fraction [R], actor_idx [R] with -1 = static world)."""
     R = origin.shape[0]
@@ -280,7 +305,7 @@ def cast_rays_batched(
     dx, dy, dz = direction[:, 0], direction[:, 1], direction[:, 2]
 
     # ---- static triangles ----
-    if jax.default_backend() == "tpu":
+    if _use_pallas():
         from c_game_engine_tpu.ops.capsule_resolve import T_CHUNK
         from c_game_engine_tpu.ops.ray_tris import ray_tris_pallas
 
@@ -311,7 +336,9 @@ def cast_rays_batched(
     n = cmap.num_actors
 
     def actor_comp(a):  # [B, N] -> [N, R]
-        return jnp.repeat(a.T, K, axis=1) if K > 1 else a.T
+        if K == 1:
+            return a.T
+        return jnp.tile(a.T, (1, K)) if layout == "kind_major" else jnp.repeat(a.T, K, axis=1)
 
     qx, qy, qz, qw = (actor_comp(actors.quat[..., k]) for k in range(4))
     scx, scy, scz = (cmap.shape_center[:, k][:, None] for k in range(3))
@@ -337,6 +364,8 @@ def cast_rays_batched(
         solid = solid & ((cmap.flags & require_flags) == require_flags)[:, None]
     if exclude is not None:
         solid = solid & (jnp.arange(n)[:, None] != exclude[None, :])
+    if static_only is not None:
+        solid = solid & ~static_only[None, :]
     bt = jnp.where(solid & bhit, bt, jnp.inf)
     k_best = jnp.argmin(bt, axis=0)  # [R]
     t_act = jnp.take_along_axis(bt, k_best[None], axis=0)[0]
@@ -408,7 +437,7 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
     ppx, ppy, ppz = player_pos[:, 0], player_pos[:, 1], player_pos[:, 2]
     pvx, pvy, pvz = player_vel[:, 0], player_vel[:, 1], player_vel[:, 2]
 
-    use_pallas = jax.default_backend() == "tpu"
+    use_pallas = _use_pallas()
     if use_pallas:
         from c_game_engine_tpu.ops.capsule_resolve import T_CHUNK
 
@@ -445,7 +474,13 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
                  jnp.broadcast_to(dhz, (D, B)), d_on_t.astype(jnp.float32)]
         for k_, a_ in enumerate(comps):
             body11 = body11.at[k_, :, :B].set(a_)
-        outc = body_contacts_pallas(tri16, cmap.chunk_bounds, body11, D)[:, :, :B]
+        # per-body chunk margin: this body's support diagonal + candidate
+        # slack (tighter than the map-wide aux['body_margin'] bound, which
+        # still governs the grid fallback's inflation)
+        margin_d = jnp.sqrt(dhx * dhx + dhy * dhy + dhz * dhz)[:, 0] + 0.35
+        outc = body_contacts_pallas(
+            tri16, cmap.chunk_bounds, body11, D, margin_d
+        )[:, :, :B]
         gen_d = outc[0].reshape(D, MANIFOLD_K, B)
         c_nx = outc[1].reshape(D, MANIFOLD_K, B)
         c_ny = outc[2].reshape(D, MANIFOLD_K, B)
@@ -638,7 +673,7 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
             return dvx, dvy, dvz
 
         _c = (dvx, dvy, dvz)
-        for _i in range(2):  # unrolled for cross-iteration fusion
+        for _i in range(PAIR_ITERS):  # unrolled for cross-iteration fusion
             _c = pair_iter(_i, _c)
         dvx, dvy, dvz = _c
         pushx = jnp.sum(jnp.where(pactive, pnx * 0.3 * pdepth, 0.0), 1)
@@ -676,16 +711,23 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
         carry, _ = substep(carry, None)
     (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz) = carry
 
-    # scatter dynamic lanes back ([D, B] -> [B, N, 3])
-    dpos_new = jnp.stack([dpx, dpy, dpz], -1).transpose(1, 0, 2)  # [B, D, 3]
-    dquat_new = jnp.stack([dqx, dqy, dqz, dqw], -1).transpose(1, 0, 2)
-    dvel_new = jnp.stack([dvx, dvy, dvz], -1).transpose(1, 0, 2)
-    domega_new = jnp.stack([dwx, dwy, dwz], -1).transpose(1, 0, 2)
-
-    sl_w = jnp.where(d_on, slc[None, :], n)  # [B, D]
-    bidx = jnp.arange(B)[:, None]
-    pos = k_pos.at[bidx, sl_w].set(dpos_new, mode="drop")
-    quat = actors.quat.at[bidx, sl_w].set(dquat_new, mode="drop")
-    vel = actors.vel.at[bidx, sl_w].set(dvel_new, mode="drop")
-    omega = actors.omega.at[bidx, sl_w].set(domega_new, mode="drop")
+    # write dynamic lanes back ([D, B] -> [B, N, .]) via a static one-hot
+    # contraction over D (dyn_slots is compile-time; batched scatters
+    # compile to standalone unfused kernels on TPU — memory playbook)
+    d2n = ((sl[:, None] == jnp.arange(n)[None, :]) & (sl >= 0)[:, None]).astype(
+        jnp.float32
+    )  # [D, N] static
+    expand = lambda comps: jnp.einsum(
+        "cdb,dn->bnc", jnp.stack(comps), d2n, precision="float32"
+    )
+    dpos_new = expand([dpx, dpy, dpz])  # [B, N, 3]
+    dquat_new = expand([dqx, dqy, dqz, dqw])
+    dvel_new = expand([dvx, dvy, dvz])
+    domega_new = expand([dwx, dwy, dwz])
+    live = jnp.einsum("db,dn->bn", d_on_t.astype(jnp.float32), d2n) > 0.5  # [B, N]
+    m3 = live[..., None]
+    pos = jnp.where(m3, dpos_new, k_pos)
+    quat = jnp.where(m3, dquat_new, actors.quat)
+    vel = jnp.where(m3, dvel_new, actors.vel)
+    omega = jnp.where(m3, domega_new, actors.omega)
     return pos, quat, vel, omega

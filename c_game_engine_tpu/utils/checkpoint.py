@@ -13,22 +13,31 @@ import numpy as np
 
 
 def save_checkpoint(path: str, state) -> None:
+    # pickle is used only when orbax is absent from the environment
+    # (ImportError); real save failures propagate so a partial orbax write
+    # is never silently shadowed by a second on-disk format.
     try:
         import orbax.checkpoint as ocp
-
-        ckptr = ocp.PyTreeCheckpointer()
-        ckptr.save(Path(path).absolute(), jax.tree.map(np.asarray, state), force=True)
-    except Exception:
+    except ImportError:
         import pickle
 
         flat, treedef = jax.tree.flatten(state)
         Path(path).parent.mkdir(parents=True, exist_ok=True)
         with open(path, "wb") as f:
             pickle.dump(([np.asarray(x) for x in flat], treedef), f)
+        return
+
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(Path(path).absolute(), jax.tree.map(np.asarray, state), force=True)
 
 
 def load_checkpoint(path: str, like):
-    """Restore into the structure of `like` (an EnvState template)."""
+    """Restore into the structure of `like` (an EnvState template).
+
+    Trust note: the pickle fallback path executes code embedded in the file;
+    only load checkpoints this process (or a trusted one) wrote. The orbax
+    directory format has no such hazard.
+    """
     p = Path(path)
     if p.is_dir():
         import orbax.checkpoint as ocp

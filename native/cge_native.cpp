@@ -48,6 +48,15 @@ int cge_read_asset(const char *path, uint8_t *out_type, uint8_t *out_type_versio
     uint64_t dsize, csize;
     memcpy(&dsize, header + 7, 8);
     memcpy(&csize, header + 15, 8);
+    // validate the untrusted header against the actual file size (the
+    // reference checks fileSize - ASSET_HEADER_SIZE == compressedSize,
+    // AssetReader.c) and bound the decompressed allocation
+    if (fseek(f, 0, SEEK_END) != 0) { fclose(f); return -9; }
+    long fsize = ftell(f);
+    if (fsize < 23 || csize != (uint64_t)(fsize - 23)) { fclose(f); return -9; }
+    if (fseek(f, 23, SEEK_SET) != 0) { fclose(f); return -9; }
+    const uint64_t MAX_DSIZE = 1ull << 32;  // 4 GiB cap on asset payloads
+    if (dsize > MAX_DSIZE || csize > (uInt)-1) { fclose(f); return -10; }
     std::vector<uint8_t> comp(csize);
     if (fread(comp.data(), 1, csize, f) != csize) { fclose(f); return -5; }
     fclose(f);
@@ -61,8 +70,20 @@ int cge_read_asset(const char *path, uint8_t *out_type, uint8_t *out_type_versio
     zs.next_in = comp.data();
     zs.avail_in = (uInt)csize;
     zs.next_out = out;
-    zs.avail_out = (uInt)dsize;
-    int rc = inflate(&zs, Z_FINISH);
+    // dsize <= 4 GiB can still exceed uInt; feed the output in chunks
+    uint64_t produced = 0;
+    int rc = Z_OK;
+    while (produced < dsize || produced == 0) {
+        uint64_t room = dsize - produced;
+        uInt chunk = room > 0x40000000u ? 0x40000000u : (uInt)room;
+        zs.next_out = out + produced;
+        zs.avail_out = chunk;
+        rc = inflate(&zs, Z_FINISH);
+        produced = zs.total_out;
+        if (rc == Z_STREAM_END || (rc != Z_OK && rc != Z_BUF_ERROR)) break;
+        if (rc == Z_BUF_ERROR && zs.avail_out != 0) break;  // input exhausted
+        if (dsize == 0) break;
+    }
     inflateEnd(&zs);
     if (rc != Z_STREAM_END || zs.total_out != dsize) { free(out); return -8; }
     *out_data = out;
@@ -73,6 +94,7 @@ int cge_read_asset(const char *path, uint8_t *out_type, uint8_t *out_type_versio
 // Writes a .g* container (gzip level 6). Returns 0 on success.
 int cge_write_asset(const char *path, uint8_t type, uint8_t type_version,
                     const uint8_t *data, uint64_t size) {
+    if (size > (uInt)-1) return -5;  // single-shot deflate; assets are small
     uLongf bound = compressBound((uLong)size) + 32;
     std::vector<uint8_t> comp(bound);
     z_stream zs;
@@ -97,10 +119,10 @@ int cge_write_asset(const char *path, uint8_t type, uint8_t type_version,
     header[6] = type_version;
     memcpy(header + 7, &size, 8);
     memcpy(header + 15, &csize, 8);
-    fwrite(header, 1, 23, f);
-    fwrite(comp.data(), 1, csize, f);
-    fclose(f);
-    return 0;
+    bool ok = fwrite(header, 1, 23, f) == 23 &&
+              fwrite(comp.data(), 1, csize, f) == csize;
+    ok = fclose(f) == 0 && ok;
+    return ok ? 0 : -4;
 }
 
 void cge_free(void *p) { free(p); }

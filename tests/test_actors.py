@@ -197,3 +197,73 @@ def test_global_light_interpolation(rig, sfn):
     )
     st = run(rig, sfn, st, 2)
     assert np.allclose(np.asarray(st.env.light_color), [1, 0, 0, 1])
+
+
+def test_triple_laser_ignores_dynamic_bodies():
+    """Triple lasers restrict to the STATIC broadphase layer (Laser.c:64-72);
+    a CAN_BLOCK_LASERS physbox in the beam must NOT shorten a triple beam
+    (but does shorten a normal one — covered above)."""
+    from tests.worldgen import P_bool, P_byte, P_str, actor, make_map
+
+    rig3 = make_map(
+        [
+            actor("prop_physbox", (-7.2, 0.2, 0)),
+            actor(
+                "prop_laser_emitter",
+                (-6, -0.3, 0),
+                (0, np.pi / 2, 0),
+                params={"height": P_byte(3), "startOn": P_bool(True), "name": P_str("em3")},
+            ),
+        ]
+    )
+    sfn3 = jax.jit(lambda s, a: step(rig3, s, a))
+    st = reset(rig3)
+    i_laser = [i for i, c in enumerate(rig3.aux["actor_classes"]) if c == "LASER"][0]
+    i_pb = [i for i, c in enumerate(rig3.aux["actor_classes"]) if c == "PHYSBOX"][0]
+    # park the physbox in the beam path each tick (it would fall/settle)
+    for _ in range(5):
+        st = st.replace(
+            actors=st.actors.replace(
+                pos=st.actors.pos.at[i_pb].set(jnp.array([-7.2, -0.3, 0.0])),
+                vel=st.actors.vel.at[i_pb].set(jnp.zeros(3)),
+            )
+        )
+        st = sfn3(st, Actions.zeros())
+    ln = float(st.actors.fdata[i_laser, 0])
+    # beam runs from the emitter face (x≈-6.6) to the wall at x=-8 (~1.4u)
+    # regardless of the box sitting at x=-7.2
+    assert 1.2 < ln < 2.5, ln
+
+
+def test_can_drop_held_veto(rig, sfn):
+    """canDropHeldActor (PlayerPhysics.c:95-101): E must not drop the held
+    body while the character is contacting it."""
+    st = reset(rig)
+    st = run(rig, sfn, st, 30)
+    i_pb = idx_of(rig, "PHYSBOX")
+    st = st.replace(
+        player=st.player.replace(
+            pos=jnp.array([3.0, -0.55, 0.0]), yaw=jnp.float32(-np.pi / 2), pitch=jnp.float32(-0.35)
+        )
+    )
+    st = run(rig, sfn, st, 2)
+    a = Actions.zeros()
+    press = a.replace(buttons=a.buttons.at[Button.INTERACT].set(True))
+    st = sfn(st, press)
+    assert int(st.player.held_actor) == i_pb
+    # shove the held box into the capsule and let one tick register contact
+    st = st.replace(
+        actors=st.actors.replace(
+            pos=st.actors.pos.at[i_pb].set(st.player.pos),
+            vel=st.actors.vel.at[i_pb].set(jnp.zeros(3)),
+        )
+    )
+    st = sfn(st, Actions.zeros())
+    assert not bool(st.player.can_drop_held)
+    st = sfn(st, press)  # E while touching: drop vetoed
+    assert int(st.player.held_actor) == i_pb
+    # spring pulls it back out in front; once clear, E drops
+    st = run(rig, sfn, st, 40)
+    assert bool(st.player.can_drop_held)
+    st = sfn(st, press)
+    assert int(st.player.held_actor) == -1

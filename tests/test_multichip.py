@@ -24,12 +24,16 @@ def test_dryrun_multichip(monkeypatch):
 
 
 def test_sharded_equals_single_device(rig):
-    """The same batch stepped on 1 device and sharded over 8 devices must
-    produce identical results (per-env state never crosses chips)."""
+    """The same batch stepped on 1 device and sharded over 8 devices must be
+    BITWISE identical (per-env state never crosses chips, so sharding must
+    not change a single ulp). Per-env actions are all distinct so a
+    batch-transpose/shard-axis bug cannot cancel out."""
     batch = 16
     state = reset_batch(rig, batch)
+    i = jnp.arange(batch, dtype=jnp.float32)
     actions = Actions.zeros((batch,)).replace(
-        move=jnp.broadcast_to(jnp.array([0.3, -1.0]), (batch, 2))
+        move=jnp.stack([jnp.sin(i), -jnp.cos(i * 0.7)], -1),
+        look=jnp.stack([0.01 * i, 0.002 * (i - 8.0)], -1),
     )
     f = jax.jit(lambda s, a: step_batch(rig, s, a))
     ref = state
@@ -46,9 +50,12 @@ def test_sharded_equals_single_device(rig):
     for _ in range(10):
         out = f(out, sact)
 
-    np.testing.assert_allclose(
-        np.asarray(out.player.pos), np.asarray(ref.player.pos), atol=1e-6
-    )
-    np.testing.assert_allclose(
-        np.asarray(out.actors.pos), np.asarray(ref.actors.pos), atol=1e-6
-    )
+    # every per-env array in the state pytree, bitwise
+    ref_leaves = jax.tree.leaves(ref)
+    out_leaves = jax.tree.leaves(out)
+    assert len(ref_leaves) == len(out_leaves)
+    for r, o in zip(ref_leaves, out_leaves):
+        np.testing.assert_array_equal(np.asarray(o), np.asarray(r))
+    # sanity: the distinct action streams actually diverged the envs
+    p = np.asarray(ref.player.pos)
+    assert len(np.unique(p[:, 0])) > 8

@@ -1,0 +1,62 @@
+"""TPU-only: the production Pallas kernel path vs the XLA fallback that the
+CPU suite validates (ADVICE r1 — the two must not silently diverge).
+
+Run on a real chip: JAX_PLATFORMS= python -m pytest tests/test_tpu_parity.py
+(the regular CI conftest pins the CPU backend, so this is skipped there).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="needs a TPU chip"
+)
+
+
+def _rollout(force_xla: bool, ticks=60, batch=256):
+    from c_game_engine_tpu.compiler.compile import compile_map
+    from c_game_engine_tpu.core.actions import Actions
+    from c_game_engine_tpu.models.sim import reset_batch, step_batch
+
+    if force_xla:
+        os.environ["CGE_FORCE_XLA"] = "1"
+    else:
+        os.environ.pop("CGE_FORCE_XLA", None)
+    try:
+        cmap = compile_map("/root/reference/assets/game/map/test.gmap")
+        state = reset_batch(cmap, batch)
+        i = jnp.arange(batch, dtype=jnp.float32)
+        acts = Actions.zeros((batch,)).replace(
+            move=jnp.stack([jnp.sin(i * 0.3), -jnp.ones(batch)], -1),
+            look=jnp.stack([0.01 * jnp.cos(i), jnp.zeros(batch)], -1),
+        )
+        f = jax.jit(lambda s, a: step_batch(cmap, s, a))
+        for _ in range(ticks):
+            state = f(state, acts)
+        return state
+    finally:
+        os.environ.pop("CGE_FORCE_XLA", None)
+
+
+def test_pallas_matches_xla_fallback():
+    """60 ticks of the full tick (capsule resolve, body contacts, rays) on
+    test.json: the Pallas path must track the XLA path within float-reorder
+    tolerance on every trajectory."""
+    ref = _rollout(force_xla=True)
+    out = _rollout(force_xla=False)
+    np.testing.assert_allclose(
+        np.asarray(out.player.pos), np.asarray(ref.player.pos), atol=2e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.player.on_ground), np.asarray(ref.player.on_ground)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.actors.pos), np.asarray(ref.actors.pos), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.actors.quat), np.asarray(ref.actors.quat), atol=5e-3
+    )
