@@ -167,6 +167,10 @@ class ActorsState:
     mod_color: jnp.ndarray  # [N, 4]
     fdata: jnp.ndarray  # [N, FD]
     idata: jnp.ndarray  # [N, ID]
+    # consecutive ticks below the sleep velocity threshold; >= SLEEP_AFTER
+    # (physics/batched.py) = body asleep, frozen until contacted/moved
+    # (Jolt's 0.5 s time-before-sleep island sleeping)
+    sleep: jnp.ndarray  # [N] i32
 
 
 @struct.dataclass
@@ -266,6 +270,7 @@ def reset(cmap: CompiledMap) -> EnvState:
         mod_color=cmap.init_mod_color,
         fdata=cmap.init_fdata,
         idata=cmap.init_idata,
+        sleep=jnp.zeros(n, jnp.int32),
     )
     env = EnvGlobals(
         light_color=cmap.default_light,

@@ -415,11 +415,13 @@ def step_batch(cmap, state: EnvState, actions: Actions) -> EnvState:
     )
 
     # --------------------------------------------- physics (2 substeps)
-    bpos, bquat, bvel, bomega = batched.step_bodies_batched(
+    bpos, bquat, bvel, bomega, bsleep = batched.step_bodies_batched(
         cmap, state.actors, state.player.pos, state.player.vel, delta / TPS, n_substeps=2
     )
     state = state.replace(
-        actors=state.actors.replace(pos=bpos, quat=bquat, vel=bvel, omega=bomega)
+        actors=state.actors.replace(
+            pos=bpos, quat=bquat, vel=bvel, omega=bomega, sleep=bsleep
+        )
     )
 
     # ------------------------------------------- save clamps (MapUpdate)

@@ -44,6 +44,10 @@ GRAVITY_Y = -9.81
 MAP_FRICTION = 4.25
 SOLVER_ITERS = 8
 PAIR_ITERS = 2
+# island sleeping (Jolt PhysicsSettings: pointVelocitySleepThreshold 0.03
+# m/s, timeBeforeSleep 0.5 s = 30 ticks)
+SLEEP_SPEED2 = 0.03 * 0.03
+SLEEP_AFTER = 30
 BAUMGARTE = 0.2
 PENETRATION_SLOP = 0.005
 RELAX = 0.7
@@ -464,6 +468,60 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
     # scheme; Jolt regenerates per collision step — PARITY.md #4).
     ccx0, ccy0, ccz0 = g.quat_rotate_soa(dqx, dqy, dqz, dqw, dcx, dcy, dcz)
     ccx0, ccy0, ccz0 = ccx0 + dpx, ccy0 + dpy, ccz0 + dpz
+    # ---------------- persistent PAIR manifold (once per tick, same scheme):
+    # normals + support radii at pre-integration poses; substeps only
+    # re-project the live centers onto the cached normals. The per-substep
+    # normalize + two box_support evaluations on [D, N, B] were the pair
+    # phase's cost.
+    e3g = lambda a: a[:, None, :]  # [D, B] -> [D, 1, B]
+    og = lambda a: a[None, :, :]  # [N, B] -> [1, N, B]
+    pvx0 = e3g(ccx0) - og(o_cx)
+    pvy0 = e3g(ccy0) - og(o_cy)
+    pvz0 = e3g(ccz0) - og(o_cz)
+    pnx, pny, pnz, pdist0 = g.normalize3(pvx0, pvy0, pvz0)
+    r_i0 = g.box_support_soa(
+        e3g(dqx), e3g(dqy), e3g(dqz), e3g(dqw),
+        e3g(jnp.broadcast_to(dhx, (D, B))), e3g(jnp.broadcast_to(dhy, (D, B))),
+        e3g(jnp.broadcast_to(dhz, (D, B))), pnx, pny, pnz,
+    )
+    r_j0 = g.box_support_soa(
+        og(oqx), og(oqy), og(oqz), og(oqw),
+        og(jnp.broadcast_to(ohx, (n, B))), og(jnp.broadcast_to(ohy, (n, B))),
+        og(jnp.broadcast_to(ohz, (n, B))), -pnx, -pny, -pnz,
+    )
+    p_rsum = 0.8 * (r_i0 + r_j0)
+    not_self = (sl[:, None] != jnp.arange(n)[None, :])[:, :, None]
+    pair_ok0 = e3g(d_on_t) & og(o_solid) & not_self
+    pair_cand = pair_ok0 & (p_rsum - pdist0 > -0.3)
+
+    # ------------------------------------------------------- body sleeping
+    # A body below the velocity threshold for SLEEP_AFTER ticks freezes:
+    # no gravity/integration, no triangle-contact generation (its compacted
+    # chunk count drops to zero in the kernel). Wake on: own velocity
+    # (reaction impulses / gameplay writes persist through the writeback),
+    # a nearby moving solid (kinematic door sliding out from under it, an
+    # awake body about to land on it), or the moving player capsule.
+    # Divergence from Jolt: islands wake one contact-hop per tick instead
+    # of instantly (PARITY.md).
+    sleep_d = actors.sleep[:, slc].T  # [D, B]
+    asleep0 = sleep_d >= SLEEP_AFTER
+    self_moving = dvx * dvx + dvy * dvy + dvz * dvz > SLEEP_SPEED2
+    near0 = pair_ok0 & (p_rsum - pdist0 > -0.05)
+    o_speed2 = (ovx * ovx + ovy * ovy + ovz * ovz)  # [N, B]
+    wake_pair = jnp.any(near0 & og(o_speed2 > SLEEP_SPEED2), axis=1)  # [D, B]
+    # player proximity at the pre-integration pose
+    sy0w = ppy - CAPSULE_HALF_HEIGHT
+    sy1w = ppy + CAPSULE_HALF_HEIGHT
+    qpx0, qpy0, qpz0 = g.closest_point_on_vseg_soa(
+        ccx0, ccy0, ccz0, ppx[None], sy0w[None], sy1w[None], ppz[None]
+    )
+    dxw, dyw, dzw = ccx0 - qpx0, ccy0 - qpy0, ccz0 - qpz0
+    pnxw, pnyw, pnzw, pdw = g.normalize3(dxw, dyw, dzw)
+    rsw = g.box_support_soa(dqx, dqy, dqz, dqw, dhx * 1.0, dhy * 1.0, dhz * 1.0, pnxw, pnyw, pnzw)
+    p_speed2 = jnp.sum(player_vel * player_vel, -1)[None]  # [1, B]
+    wake_player = (0.9 * rsw + CAPSULE_RADIUS - pdw > -0.05) & (p_speed2 > SLEEP_SPEED2)
+    awake = d_on_t & (~asleep0 | self_moving | wake_pair | wake_player)
+
     if use_pallas:
         from c_game_engine_tpu.ops.body_contacts import BLK as PBLK, body_contacts_pallas
 
@@ -471,7 +529,7 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
         body11 = jnp.zeros((16, D, B + pad), jnp.float32)
         comps = [ccx0, ccy0, ccz0, dqx, dqy, dqz, dqw,
                  jnp.broadcast_to(dhx, (D, B)), jnp.broadcast_to(dhy, (D, B)),
-                 jnp.broadcast_to(dhz, (D, B)), d_on_t.astype(jnp.float32)]
+                 jnp.broadcast_to(dhz, (D, B)), awake.astype(jnp.float32)]
         for k_, a_ in enumerate(comps):
             body11 = body11.at[k_, :, :B].set(a_)
         # per-body chunk margin: this body's support diagonal + candidate
@@ -493,7 +551,7 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
         L = cand.shape[0]
         cand = cand.reshape(L, D, B).transpose(1, 0, 2)  # [D, L, B]
         c = _tri_comps(cmap, cand)
-        cand_ok0 = (cand >= 0) & jnp.take(cmap.tri_valid, jnp.clip(cand, 0, None)) & d_on_t[:, None, :]
+        cand_ok0 = (cand >= 0) & jnp.take(cmap.tri_valid, jnp.clip(cand, 0, None)) & awake[:, None, :]
         e = lambda a_: a_[:, None, :]
         qtx, qty, qtz = g.closest_point_on_triangle_soa(
             e(ccx0), e(ccy0), e(ccz0), c[0], c[1], c[2], c[3], c[4], c[5], c[6], c[7], c[8]
@@ -525,7 +583,7 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
 
     def substep(carry, _):
         dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz = carry
-        on = d_on_t
+        on = awake  # sleeping lanes: frozen pose, no gravity/pushes
         dvy = jnp.where(on, dvy + GRAVITY_Y * h, dvy)
         dpx = jnp.where(on, dpx + dvx * h, dpx)
         dpy = jnp.where(on, dpy + dvy * h, dpy)
@@ -632,19 +690,18 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
         dpz = dpz + jnp.sum(c_nz * over, 1)
 
         # ---------------------------------- vs other actors [D, N, B]
+        # cached pair manifold: re-project live centers onto the fixed
+        # normals (depth only; normals/supports generated once per tick)
         ccx2, ccy2, ccz2 = g.quat_rotate_soa(dqx, dqy, dqz, dqw, dcx, dcy, dcz)
         ccx2, ccy2, ccz2 = ccx2 + dpx, ccy2 + dpy, ccz2 + dpz
         e3 = lambda a: a[:, None, :]  # [D, B] -> [D, 1, B]
         o = lambda a: a[None, :, :]  # [N, B] -> [1, N, B]
-        pvx_ = e3(ccx2) - o(o_cx)
-        pvy_ = e3(ccy2) - o(o_cy)
-        pvz_ = e3(ccz2) - o(o_cz)
-        pnx, pny, pnz, pdist = g.normalize3(pvx_, pvy_, pvz_)
-        r_i = g.box_support_soa(e3(dqx), e3(dqy), e3(dqz), e3(dqw), e3(dhx * 1.0), e3(dhy * 1.0), e3(dhz * 1.0), pnx, pny, pnz)
-        r_j = g.box_support_soa(o(oqx), o(oqy), o(oqz), o(oqw), o(ohx * 1.0), o(ohy * 1.0), o(ohz * 1.0), -pnx, -pny, -pnz)
-        not_self = (sl[:, None] != jnp.arange(n)[None, :])[:, :, None]
-        pair_ok = e3(on) & o(o_solid) & not_self
-        pdepth = jnp.where(pair_ok, 0.8 * (r_i + r_j) - pdist, -jnp.inf)
+        signed_p = (
+            (e3(ccx2) - o(o_cx)) * pnx
+            + (e3(ccy2) - o(o_cy)) * pny
+            + (e3(ccz2) - o(o_cz)) * pnz
+        )
+        pdepth = jnp.where(pair_cand, p_rsum - signed_p, -jnp.inf)
         pactive = pdepth > 0.0
 
         def pair_iter(_, dv):
@@ -711,6 +768,17 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
         carry, _ = substep(carry, None)
     (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz) = carry
 
+    # sleep counter: consecutive ticks with point velocity (|v| + |w|*r
+    # bound) under threshold; capped at SLEEP_AFTER
+    diag2 = dhx * dhx + dhy * dhy + dhz * dhz  # [D, 1]
+    final_speed2 = (
+        dvx * dvx + dvy * dvy + dvz * dvz + (dwx * dwx + dwy * dwy + dwz * dwz) * diag2
+    )
+    slow = final_speed2 <= SLEEP_SPEED2
+    sleep_new = jnp.where(
+        d_on_t & slow, jnp.minimum(sleep_d + 1, SLEEP_AFTER), 0
+    )  # [D, B]
+
     # write dynamic lanes back ([D, B] -> [B, N, .]) via a static one-hot
     # contraction over D (dyn_slots is compile-time; batched scatters
     # compile to standalone unfused kernels on TPU — memory playbook)
@@ -730,4 +798,6 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
     quat = jnp.where(m3, dquat_new, actors.quat)
     vel = jnp.where(m3, dvel_new, actors.vel)
     omega = jnp.where(m3, domega_new, actors.omega)
-    return pos, quat, vel, omega
+    sleep_n = jnp.einsum("db,dn->bn", sleep_new.astype(jnp.float32), d2n).astype(jnp.int32)
+    sleep = jnp.where(live, sleep_n, actors.sleep)
+    return pos, quat, vel, omega, sleep

@@ -158,3 +158,34 @@ def test_determinism_and_vmap_consistency(freefall_map):
     np.testing.assert_allclose(
         np.asarray(bst.player.pos[0]), np.asarray(st1.player.pos), rtol=0, atol=0
     )
+
+
+def test_body_sleeping(rig):
+    """A settled body sleeps after 0.5 s below Jolt's velocity threshold
+    (frozen pose, no drift) and wakes on an external impulse or the moving
+    player (physics/batched.py SLEEP_*)."""
+    import jax
+
+    from c_game_engine_tpu.core.actions import Actions
+    from c_game_engine_tpu.core.step import step
+    from c_game_engine_tpu.core.state import reset
+    from c_game_engine_tpu.physics.batched import SLEEP_AFTER
+
+    sfn = jax.jit(lambda s, a: step(rig, s, a))
+    i_pb = [i for i, c in enumerate(rig.aux["actor_classes"]) if c == "PHYSBOX"][0]
+    st = reset(rig)
+    for _ in range(40 + SLEEP_AFTER):
+        st = sfn(st, Actions.zeros())
+    assert int(st.actors.sleep[i_pb]) >= SLEEP_AFTER
+    frozen = np.asarray(st.actors.pos[i_pb])
+    for _ in range(10):
+        st = sfn(st, Actions.zeros())
+    np.testing.assert_array_equal(np.asarray(st.actors.pos[i_pb]), frozen)
+    # external impulse wakes it
+    st = st.replace(
+        actors=st.actors.replace(vel=st.actors.vel.at[i_pb].set(jnp.array([1.0, 0.0, 0.0])))
+    )
+    for _ in range(3):
+        st = sfn(st, Actions.zeros())
+    assert int(st.actors.sleep[i_pb]) < SLEEP_AFTER
+    assert abs(float(st.actors.pos[i_pb, 0]) - frozen[0]) > 0.01
