@@ -15,9 +15,15 @@ _clip_near). Alpha screen-door discard currently falls through to fog/sky
 rather than the next fragment behind (single-winner buffer; faithful for
 the maps' mostly-opaque surfaces).
 
-A Pallas tile-based version for bulk throughput lives in ops/ (see
-ops/raster_tiles.py when present); this module is the correctness
-reference for image goldens.
+Pass 1 has two interchangeable backends sharing the same triangle setup
+and pass-2 shading:
+  "xla"    — chunked lax.scan evaluating [CHUNK, H, W] edge functions;
+             the correctness reference for image goldens, runs anywhere.
+  "pallas" — ops/raster_tiles.py tile kernel: (8, 128) VMEM framebuffer
+             tiles, per-tile compacted triangle lists, z/winner in
+             registers. The TPU production path.
+The default ("auto") picks pallas on TPU and xla elsewhere; both compute
+the identical edge/z expressions so winner ids match up to float ties.
 """
 
 from __future__ import annotations
@@ -38,6 +44,7 @@ from c_game_engine_tpu.utils.mathx import (
 
 CHUNK = 64
 CULL_MODE = "neg"  # neg | pos | none (debug)
+BACKEND = "auto"  # pass-1 default: auto | xla | pallas
 MAGIC_XY = jnp.array([0.06711056, 0.00583715])
 MAGIC_Z = 52.9829189
 
@@ -221,8 +228,19 @@ def _concat_parts(parts):
     return out
 
 
-def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0):
+def _resolve_backend(backend, height, width):
+    backend = BACKEND if backend is None else backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    # the tile kernel needs whole (8, 128) framebuffer tiles
+    if backend == "pallas" and (height % 8 or width % 128):
+        backend = "xla"
+    return backend
+
+
+def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=None):
     """Render one env's view. Returns f32 [H, W, 3] in [0, 1]."""
+    backend = _resolve_backend(backend, height, width)
     vp, cam_pos = camera_matrix(cmap, state, width, height, fov_deg)
     parts = gather_triangles(bundle, cmap, state, camera_pos_hint=cam_pos)
 
@@ -286,48 +304,10 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0):
     py = jnp.arange(height, dtype=jnp.float32) + 0.5
     gx, gy = jnp.meshgrid(px, py)
 
-    n_chunks = tri["pos"].shape[0] // CHUNK
-
-    def pass1(carry, ci):
-        zbuf, winner = carry
-        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, ci * CHUNK, CHUNK, axis=0)
-        cx, cy, cz = sl(sx), sl(sy), sl(sz)
-        cok = sl(tri_ok)
-        # edge functions at pixel centers: e(p) = (b-a) x (p-a)
-        def edges(i, j):
-            ax_, ay_ = cx[:, i], cy[:, i]
-            bx_, by_ = cx[:, j], cy[:, j]
-            return (bx_ - ax_)[:, None, None] * (gy[None] - ay_[:, None, None]) - (
-                by_ - ay_
-            )[:, None, None] * (gx[None] - ax_[:, None, None])
-
-        e0 = edges(0, 1)
-        e1 = edges(1, 2)
-        e2 = edges(2, 0)
-        inside = ((e0 <= 0) & (e1 <= 0) & (e2 <= 0)) | ((e0 >= 0) & (e1 >= 0) & (e2 >= 0))
-        # affine depth via barycentric from edge functions
-        denom = e0 + e1 + e2
-        denom = jnp.where(jnp.abs(denom) > 1e-9, denom, 1e-9)
-        b0 = e1 / denom
-        b1 = e2 / denom
-        b2 = e0 / denom
-        z = (
-            b0 * cz[:, 0, None, None]
-            + b1 * cz[:, 1, None, None]
-            + b2 * cz[:, 2, None, None]
-        )
-        zvalid = inside & cok[:, None, None] & (z > 0.0) & (z < 1.0)
-        z = jnp.where(zvalid, z, jnp.inf)
-        best = jnp.argmin(z, axis=0)  # [H, W]
-        bz = jnp.take_along_axis(z, best[None], axis=0)[0]
-        closer = bz < zbuf
-        zbuf = jnp.where(closer, bz, zbuf)
-        winner = jnp.where(closer, ci * CHUNK + best, winner)
-        return (zbuf, winner), None
-
-    zbuf0 = jnp.full((height, width), jnp.inf)
-    win0 = jnp.full((height, width), -1, jnp.int32)
-    (zbuf, winner), _ = jax.lax.scan(pass1, (zbuf0, win0), jnp.arange(n_chunks))
+    if backend == "pallas":
+        winner = _pass1_pallas(sx, sy, sz, tri_ok, height, width)
+    else:
+        winner = _pass1_xla(sx, sy, sz, tri_ok, gx, gy, height, width)
 
     # ---- pass 2: shade winners ----
     has = winner >= 0
@@ -373,6 +353,82 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0):
     # spirit; Vulkan clears to black — use black)
     rgb = jnp.where(has[..., None], rgb, 0.0)
     return jnp.clip(rgb, 0.0, 1.0)
+
+
+def _pass1_xla(sx, sy, sz, tri_ok, gx, gy, height, width):
+    """Chunked z-buffer pass over [CHUNK, H, W] edge functions (reference
+    path). Tie rule: strictly-closer wins, so the lowest triangle index
+    takes equal-z pixels — same as the Pallas tile kernel's in-order loop."""
+    n_chunks = sx.shape[0] // CHUNK
+
+    def pass1(carry, ci):
+        zbuf, winner = carry
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, ci * CHUNK, CHUNK, axis=0)
+        cx, cy, cz = sl(sx), sl(sy), sl(sz)
+        cok = sl(tri_ok)
+        # edge functions at pixel centers: e(p) = (b-a) x (p-a)
+        def edges(i, j):
+            ax_, ay_ = cx[:, i], cy[:, i]
+            bx_, by_ = cx[:, j], cy[:, j]
+            return (bx_ - ax_)[:, None, None] * (gy[None] - ay_[:, None, None]) - (
+                by_ - ay_
+            )[:, None, None] * (gx[None] - ax_[:, None, None])
+
+        e0 = edges(0, 1)
+        e1 = edges(1, 2)
+        e2 = edges(2, 0)
+        inside = ((e0 <= 0) & (e1 <= 0) & (e2 <= 0)) | ((e0 >= 0) & (e1 >= 0) & (e2 >= 0))
+        # affine depth via barycentric from edge functions (fused form —
+        # written identically in ops/raster_tiles.py so both backends
+        # round the same way)
+        denom = e0 + e1 + e2
+        denom = jnp.where(jnp.abs(denom) > 1e-9, denom, 1e-9)
+        z = (
+            e1 * cz[:, 0, None, None]
+            + e2 * cz[:, 1, None, None]
+            + e0 * cz[:, 2, None, None]
+        ) / denom
+        zvalid = inside & cok[:, None, None] & (z > 0.0) & (z < 1.0)
+        z = jnp.where(zvalid, z, jnp.inf)
+        best = jnp.argmin(z, axis=0)  # [H, W]
+        bz = jnp.take_along_axis(z, best[None], axis=0)[0]
+        closer = bz < zbuf
+        zbuf = jnp.where(closer, bz, zbuf)
+        winner = jnp.where(closer, ci * CHUNK + best, winner)
+        return (zbuf, winner), None
+
+    zbuf0 = jnp.full((height, width), jnp.inf)
+    win0 = jnp.full((height, width), -1, jnp.int32)
+    (zbuf, winner), _ = jax.lax.scan(pass1, (zbuf0, win0), jnp.arange(n_chunks))
+    return winner
+
+
+def _pass1_pallas(sx, sy, sz, tri_ok, height, width):
+    """Tile-kernel z-buffer pass: bin triangles to (8, 128) framebuffer
+    tiles and pre-gather per-tile triangle blocks on the XLA side, then run
+    ops/raster_tiles.py per tile."""
+    from c_game_engine_tpu.ops.raster_tiles import (
+        bin_triangles,
+        gather_tiles,
+        raster_tiles_pallas,
+    )
+
+    t = sx.shape[0]
+    ids = jnp.arange(t, dtype=jnp.float32)  # exact in f32 for t < 2^24
+    tri16 = jnp.concatenate(
+        [
+            jnp.stack(
+                [sx[:, 0], sy[:, 0], sx[:, 1], sy[:, 1], sx[:, 2], sy[:, 2],
+                 sz[:, 0], sz[:, 1], sz[:, 2], ids],
+                -1,
+            ),
+            jnp.zeros((t, 6), jnp.float32),
+        ],
+        -1,
+    )
+    idx, cnt = bin_triangles(sx, sy, tri_ok, height, width)
+    _, winner = raster_tiles_pallas(gather_tiles(tri16, idx), cnt, height, width)
+    return winner
 
 
 def _clip_near(clip, tri, near_w=0.01):
@@ -589,11 +645,11 @@ def render_viewmodel(bundle, state, frame):
     return jnp.where(has[..., None], rgb, frame)
 
 
-def render_with_hud(bundle, cmap, state, height=256, width=256, fov_deg=90.0):
+def render_with_hud(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=None):
     """Full frame: world render + viewmodel + HUD composite (MainStateRender,
     MainState.c:95-110: RenderMap -> RenderHUD)."""
     from c_game_engine_tpu.render.hud import render_hud
 
-    frame = render(bundle, cmap, state, height, width, fov_deg)
+    frame = render(bundle, cmap, state, height, width, fov_deg, backend)
     frame = render_viewmodel(bundle, state, frame)
     return render_hud(bundle.atlas, bundle.hud, state, frame)

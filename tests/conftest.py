@@ -9,7 +9,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# CGE_TPU_TESTS=1 leaves the real backend in place so the TPU-only suites
+# (tests/test_tpu_parity.py, the tpu256 goldens) can run on a chip.
+if os.environ.get("CGE_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

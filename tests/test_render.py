@@ -114,3 +114,29 @@ def test_hud_composite(test_map):
     assert (diff > 0.01).sum() > 100  # crosshair + icons + digits drew pixels
     # crosshair region changed (center)
     assert diff[64 - 10 : 64 + 10, 256 - 10 : 256 + 10].max() > 0.01
+
+
+def test_pallas_raster_backend_matches_xla(test_map):
+    """The tile-kernel pass 1 (ops/raster_tiles.py, interpret mode on CPU)
+    must produce the exact frame the XLA reference pass 1 does — both
+    backends share the triangle setup and pass-2 shading, and write the
+    identical edge/z expressions."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from c_game_engine_tpu.core.actions import Actions
+    from c_game_engine_tpu.core.state import reset
+    from c_game_engine_tpu.core.step import step
+    from c_game_engine_tpu.render.bundle import build_render_bundle
+    from c_game_engine_tpu.render.raster import render
+
+    cm = test_map
+    rb = build_render_bundle(cm)
+    st = reset(cm)
+    sfn = jax.jit(lambda s, a: step(cm, s, a))
+    for _ in range(30):
+        st = sfn(st, Actions.zeros())
+
+    ref = np.asarray(render(rb, cm, st, 128, 128, backend="xla"))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(render(rb, cm, st, 128, 128, backend="pallas"))
+    np.testing.assert_array_equal(out, ref)

@@ -60,3 +60,26 @@ def test_pallas_matches_xla_fallback():
     np.testing.assert_allclose(
         np.asarray(out.actors.quat), np.asarray(ref.actors.quat), atol=5e-3
     )
+
+
+def test_pallas_raster_matches_xla_on_chip():
+    """Compiled tile-raster kernel vs the XLA pass 1 at the production
+    256x256 resolution. Winner ids may differ only on exact z ties, so the
+    comparison is per-pixel with a tiny allowed-differing fraction."""
+    from c_game_engine_tpu.compiler.compile import compile_map
+    from c_game_engine_tpu.core.actions import Actions
+    from c_game_engine_tpu.core.state import reset
+    from c_game_engine_tpu.core.step import step
+    from c_game_engine_tpu.render.bundle import build_render_bundle
+    from c_game_engine_tpu.render.raster import render
+
+    cm = compile_map("/root/reference/assets/game/map/test.gmap")
+    rb = build_render_bundle(cm)
+    st = reset(cm)
+    f = jax.jit(lambda s, a: step(cm, s, a))
+    for _ in range(30):
+        st = f(st, Actions.zeros())
+    ref = np.asarray(jax.jit(lambda s: render(rb, cm, s, 256, 256, backend="xla"))(st))
+    out = np.asarray(jax.jit(lambda s: render(rb, cm, s, 256, 256, backend="pallas"))(st))
+    diff = np.abs(out - ref)
+    assert float((diff > 1 / 255).mean()) < 0.002
