@@ -14,6 +14,7 @@ from flax import struct
 from c_game_engine_tpu.assets.codecs import ModelShader, decode_gfon
 from c_game_engine_tpu.render.hud import HudAssets
 from c_game_engine_tpu.render.textures import TextureAtlas, build_atlas
+from c_game_engine_tpu.ui.stack import NUM_UITEX, UiAssets
 
 MAX_SKINS = 8
 MAX_SLOTS = 8
@@ -51,6 +52,9 @@ class RenderBundle:
 
     # HUD assets (render/hud.py)
     hud: HudAssets
+
+    # widget-stack assets (ui/stack.py; interface/*.gtex + small_font)
+    ui: UiAssets
 
     # viewmodel (first-person item model; eraser item only — EraserItem.c
     # SwitchTo loads model/eraser.gmdl at x=+0.5, yaw 5 deg)
@@ -165,30 +169,35 @@ def build_render_bundle(cmap) -> RenderBundle:
     ycoin = intern_or_missing("texture/interface/hud_ycoin.gtex")
     bcoin = intern_or_missing("texture/interface/hud_bcoin.gtex")
     cross = intern_or_missing("texture/interface/crosshair.gtex")
-    font_start = np.full(128, -1.0, np.float32)
-    font_end = np.full(128, -1.0, np.float32)
-    font_w = np.zeros(128, np.float32)
-    font_h = 16.0
-    font_sp = 1.0
-    font_tex = -1
-    font_path = resolver.resolve("font/large_font.gfon")
-    if font_path:
-        f = decode_gfon(font_path)
-        font_tex = intern_or_missing(f.texture)
-        font_h = float(f.texture_height)
-        font_sp = float(f.char_spacing)
-        for i, ch in enumerate(f.chars):
-            ci = ord(ch)
-            if ci < 128:
-                font_start[ci] = f.start_uvs[i]
-                font_end[ci] = f.end_uvs[i]
-                font_w[ci] = f.widths[i]
-        if f.uppercase_only:
-            for lo in range(ord("a"), ord("z") + 1):
-                up = lo - 32
-                font_start[lo] = font_start[up]
-                font_end[lo] = font_end[up]
-                font_w[lo] = font_w[up]
+
+    def font_arrays(name):
+        start = np.full(128, -1.0, np.float32)
+        end = np.full(128, -1.0, np.float32)
+        fw_ = np.zeros(128, np.float32)
+        fh_, fsp, ftex = 16.0, 1.0, -1
+        path = resolver.resolve(name)
+        if path:
+            f = decode_gfon(path)
+            ftex = intern_or_missing(f.texture)
+            fh_ = float(f.texture_height)
+            fsp = float(f.char_spacing)
+            for i, ch in enumerate(f.chars):
+                ci = ord(ch)
+                if ci < 128:
+                    start[ci] = f.start_uvs[i]
+                    end[ci] = f.end_uvs[i]
+                    fw_[ci] = f.widths[i]
+            if f.uppercase_only:
+                for lo in range(ord("a"), ord("z") + 1):
+                    up = lo - 32
+                    start[lo] = start[up]
+                    end[lo] = end[up]
+                    fw_[lo] = fw_[up]
+        return ftex, start, end, fw_, fh_, fsp
+
+    font_tex, font_start, font_end, font_w, font_h, font_sp = font_arrays(
+        "font/large_font.gfon"
+    )
     hud = HudAssets(
         ycoin_tex=jnp.asarray(np.int32(ycoin)),
         bcoin_tex=jnp.asarray(np.int32(bcoin)),
@@ -199,6 +208,44 @@ def build_render_bundle(cmap) -> RenderBundle:
         font_widths=jnp.asarray(font_w),
         font_height=jnp.asarray(np.float32(font_h)),
         font_spacing=jnp.asarray(np.float32(font_sp)),
+    )
+
+    # ---------------- UI assets ----------------
+    # slot order must match ui/stack.py UITEX_* constants
+    ui_names = [
+        "texture/interface/button.gtex",
+        "texture/interface/button_hover.gtex",
+        "texture/interface/button_pressed.gtex",
+        "texture/interface/slider.gtex",
+        "texture/interface/slider_thumb.gtex",
+        "texture/interface/checkbox_unchecked.gtex",
+        "texture/interface/checkbox_checked.gtex",
+        "texture/interface/radio_unchecked.gtex",
+        "texture/interface/radio_checked.gtex",
+        "texture/interface/textbox.gtex",
+        "texture/interface/focus_rect.gtex",
+        "texture/interface/menu_logo.gtex",
+        "texture/interface/pause_logo.gtex",
+        "texture/interface/studio.gtex",
+    ]
+    assert len(ui_names) == NUM_UITEX
+    ui_tex = np.full(NUM_UITEX, -1, np.int32)
+    ui_size = np.ones((NUM_UITEX, 2), np.float32)
+    for i, name in enumerate(ui_names):
+        if resolver.resolve(name):
+            ui_tex[i] = intern(name)
+            t = resolver.texture(name)
+            ui_size[i] = (t.width, t.height)
+    sf_tex, sf_start, sf_end, sf_w, sf_h, sf_sp = font_arrays("font/small_font.gfon")
+    ui_assets = UiAssets(
+        tex=jnp.asarray(ui_tex),
+        tex_size=jnp.asarray(ui_size),
+        font_tex=jnp.asarray(np.int32(sf_tex)),
+        font_start_u=jnp.asarray(sf_start),
+        font_end_u=jnp.asarray(sf_end),
+        font_widths=jnp.asarray(sf_w),
+        font_height=jnp.asarray(np.float32(sf_h)),
+        font_spacing=jnp.asarray(np.float32(sf_sp)),
     )
 
     # ---------------- viewmodel models ----------------
@@ -254,6 +301,7 @@ def build_render_bundle(cmap) -> RenderBundle:
         sky_uv=jnp.asarray(sky_uv),
         sky_tex=jnp.asarray(np.int32(sky_tex_id)),
         hud=hud,
+        ui=ui_assets,
         vm_pos=jnp.asarray(vm_pos),
         vm_uv=jnp.asarray(vm_uv),
         vm_color=jnp.asarray(vm_color),

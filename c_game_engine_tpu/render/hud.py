@@ -100,6 +100,48 @@ def draw_number(frame, atlas, hud: HudAssets, value, x0, y0, size, color):
     return out
 
 
+def draw_text(frame, atlas, font, codes, x, y, size, color, halign="left"):
+    """Bitmap-font string draw (FontDrawString / DrawTextAligned, Font.c).
+    `font` is any struct with font_tex/font_start_u/font_end_u/font_widths/
+    font_height/font_spacing (HudAssets or ui.stack.UiAssets). `codes` is a
+    fixed-length i32 array of ASCII codes, -1 = skip (zero advance).
+    halign: "left" anchors at x, "center" centers the string on x."""
+    codes = jnp.asarray(codes)
+    L = codes.shape[0]
+    visible = codes >= 0
+    ci = jnp.clip(codes, 0, 127)
+    scale = size / jnp.maximum(font.font_height, 1.0)
+    widths = font.font_widths[ci] * scale
+    advances = jnp.where(visible, widths + font.font_spacing * scale, 0.0)
+    offs = jnp.concatenate([jnp.zeros(1), jnp.cumsum(advances)[:-1]])
+    total = jnp.sum(advances)
+    x0 = x - total * 0.5 if halign == "center" else x
+
+    fh, fw = frame.shape[:2]
+    ys = jnp.arange(fh, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(fw, dtype=jnp.float32)[None, :]
+    color = jnp.asarray(color)
+    out = frame
+    for i in range(L):
+        cx = x0 + offs[i]
+        u_loc, v_loc = jnp.broadcast_arrays(
+            (xs - cx) / jnp.maximum(widths[i], 1e-6), (ys - y) / jnp.maximum(size, 1e-6)
+        )
+        su = font.font_start_u[ci[i]]
+        eu = font.font_end_u[ci[i]]
+        u_tex = su + u_loc * (eu - su)
+        inside = (
+            (u_loc >= 0) & (u_loc < 1) & (v_loc >= 0) & (v_loc < 1)
+            & visible[i] & (font.font_tex >= 0) & (su >= 0)
+        )
+        tex = sample(
+            atlas, jnp.broadcast_to(font.font_tex, u_loc.shape), jnp.stack([u_tex, v_loc], -1)
+        )
+        a = jnp.where(inside, tex[..., 3] * color[3], 0.0)[..., None]
+        out = out * (1 - a) + tex[..., :3] * color[:3] * a
+    return out
+
+
 def render_hud(atlas, hud: HudAssets, state, frame):
     """Composite the in-game HUD over one env's frame (Drawing.c:235-271).
     Skipped when a camera actor overrides the player camera."""
