@@ -78,6 +78,9 @@ class Row:
     shape_center: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
     layer: int = int(Layer.STATIC)
     mass: float = 0.0
+    # support vert cloud relative to shape_center (None -> box corners of
+    # halfext); see compiler/models.py support_cloud
+    hull_verts: np.ndarray | None = None
     rot_lock_y: bool = False  # allow only Y rotation (TestActor.c:42-46)
     friction: float = 0.2  # Jolt body default
     restitution: float = 0.0
@@ -217,6 +220,7 @@ def build_physics_model(ir, ctx):
     r.shape = int(Shape.BOX)
     r.halfext = info.box_halfext.copy()
     r.shape_center = info.box_center.copy()
+    r.hull_verts = info.hull_verts
     r.layer = int(Layer.DYNAMIC)
     mass_override = kv.get_float(ir.params, "mass_override", 0.0)
     r.mass = mass_override if mass_override > 0 else info.mass_default
@@ -435,6 +439,7 @@ def build_physbox(ir, ctx):
     r.shape = int(Shape.BOX)
     r.halfext = info.box_halfext.copy()
     r.shape_center = info.box_center.copy()
+    r.hull_verts = info.hull_verts
     r.layer = int(Layer.DYNAMIC)
     r.mass = 10.0
     return r
@@ -450,6 +455,7 @@ def build_test_actor(ir, ctx):
     r.shape = int(Shape.BOX)
     r.halfext = info.box_halfext.copy()
     r.shape_center = info.box_center.copy()
+    r.hull_verts = info.hull_verts
     r.layer = int(Layer.DYNAMIC)
     r.mass = 15.0
     r.rot_lock_y = True
@@ -464,6 +470,8 @@ def build_npc_john(ir, ctx):
     r.motion = int(Motion.DYNAMIC)
     r.shape = int(Shape.CYLINDER)
     r.halfext = np.array([0.25, 0.5, 0.25], np.float32)
+    from c_game_engine_tpu.compiler.models import cylinder_cloud
+    r.hull_verts = cylinder_cloud(0.25, 0.5)
     r.layer = int(Layer.DYNAMIC)
     r.mass = 15.0
     r.rot_lock_y = True
@@ -481,6 +489,7 @@ def build_item_eraser(ir, ctx):
     r.shape = int(Shape.BOX)
     r.halfext = info.box_halfext.copy()
     r.shape_center = info.box_center.copy()
+    r.hull_verts = info.hull_verts
     r.layer = int(Layer.DYNAMIC)
     r.mass = info.mass_default
     return r

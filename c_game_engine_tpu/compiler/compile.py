@@ -373,9 +373,70 @@ def compile_map(
         frontier = nxt
     signal_rounds = max(depth, 1)
 
+    # ------------------------------------------------- support vert clouds
+    # Per-actor narrowphase support clouds relative to shape_center
+    # (reference: ModelLoader.c:323-351 builds ConvexHullShape compounds;
+    # models.py support_cloud reduces the raw .gmdl point clouds). Bodies
+    # without a hull cloud use their 8 box corners, which makes the
+    # vert-cloud support function equal to the closed-form box support;
+    # when EVERY actor reduces to a plain box, aux['hulls_are_boxes'] lets
+    # the batched physics keep the cheap closed form (test/stacked/max_box
+    # pay nothing for the hull path).
+    from c_game_engine_tpu.compiler.models import box_corners
+
+    def _is_box_cloud(cloud: np.ndarray, h: np.ndarray) -> bool:
+        if cloud.shape[0] != 8:
+            return False
+        want = box_corners(h)
+        order_a = np.lexsort(cloud.T)
+        order_b = np.lexsort(want.T)
+        return bool(np.allclose(cloud[order_a], want[order_b], atol=1e-5))
+
+    from c_game_engine_tpu.compiler.models import _SUPPORT_DIRS
+
+    def _snap_to_box(cloud: np.ndarray, h: np.ndarray, tol: float = 0.02) -> bool:
+        """True when the cloud's support function is within `tol` of its
+        AABB box everywhere on the direction set — e.g. cube.gmdl, whose
+        hull is a box with ~8 mm corner bevels. Jolt itself shrinks hulls
+        by a 0.05 convex radius, so snapping these to exact boxes is
+        within the reference's own tolerance AND restores perfectly
+        symmetric 4-corner face manifolds (a beveled face's 1-center +
+        3-of-4-edge-vert manifold applies a net torque every tick)."""
+        sup_c = (cloud.astype(np.float64) @ _SUPPORT_DIRS.T.astype(np.float64)).max(0)
+        sup_b = np.abs(_SUPPORT_DIRS.astype(np.float64)) @ h.astype(np.float64)
+        return bool(np.all(np.abs(sup_c - sup_b) <= tol))
+
+    clouds = []
+    hulls_are_boxes = True
+    for i in range(n):
+        r = rows[i] if i < n_real else None
+        if r is not None and r.hull_verts is not None:
+            c = np.asarray(r.hull_verts, np.float32)
+            if _is_box_cloud(c, halfext[i]) or _snap_to_box(c, halfext[i]):
+                c = box_corners(halfext[i])
+            else:
+                hulls_are_boxes = False
+        else:
+            c = box_corners(halfext[i])
+        clouds.append(c)
+    v_max = max(8, max(c.shape[0] for c in clouds))
+    hull_verts = np.zeros((n, v_max, 3), np.float32)
+    for i, c in enumerate(clouds):
+        hull_verts[i, : c.shape[0]] = c
+        hull_verts[i, c.shape[0] :] = c[0]  # support-neutral padding
+    # static per-dyn-slot box flags: the Pallas body-contact kernel unrolls
+    # its body loop in Python, so box bodies keep the closed-form support
+    # at zero cost even on maps that also carry hull bodies
+    dyn_is_box = tuple(
+        _is_box_cloud(clouds[ai], halfext[ai]) for ai in dyn_list
+    ) + (True,) * (d_pad - len(dyn_list))
+
     aux = {
         "name": name,
         "signal_rounds": signal_rounds,
+        "hulls_are_boxes": hulls_are_boxes,
+        "dyn_is_box": dyn_is_box,
+        "num_dynamic": int(len(dyn_list)),
         "actor_names": [r.name for r in rows],
         "actor_classes": [ActorClass(r.cls).name for r in rows],
         "texture_names": list(ctx.texture_ids.keys()),
@@ -418,6 +479,7 @@ def compile_map(
         motion=jnp.asarray(motion),
         shape=stack(lambda r: r.shape, (), np.int32),
         halfext=jnp.asarray(halfext),
+        hull_verts=jnp.asarray(hull_verts),
         shape_center=stack(lambda r: r.shape_center, (3,), np.float32),
         layer=stack(lambda r: r.layer, (), np.int32),
         mass=jnp.asarray(mass),

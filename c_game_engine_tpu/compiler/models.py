@@ -29,16 +29,77 @@ DEFAULT_SEARCH_PATHS = (
 )
 
 
+# Fixed support-direction set used to reduce .gmdl hull point clouds to a
+# small vert cloud: the 26 unit directions of the {-1, 0, 1}^3 grid. The
+# reduced cloud's support function is EXACT along these directions (so exact
+# everywhere for axis-aligned boxes: all 8 corners are corner-direction
+# argmaxes) and underestimates by <= 1 - cos(max gap/2) ~ 4% in between.
+# The reference passes the raw cloud to Jolt which convexifies internally
+# (engine/src/assets/ModelLoader.c:323-351 ConvexHullShape).
+_SUPPORT_DIRS = np.array(
+    [
+        (x, y, z)
+        for x in (-1.0, 0.0, 1.0)
+        for y in (-1.0, 0.0, 1.0)
+        for z in (-1.0, 0.0, 1.0)
+        if (x, y, z) != (0.0, 0.0, 0.0)
+    ],
+    np.float32,
+)
+_SUPPORT_DIRS /= np.linalg.norm(_SUPPORT_DIRS, axis=1, keepdims=True)
+
+
+def support_cloud(points: np.ndarray, dirs: np.ndarray = _SUPPORT_DIRS) -> np.ndarray:
+    """Reduce a point cloud to its convex-hull vertices, then (if still
+    over the direction-set budget) to its support points over the fixed
+    direction set. Returns [V, 3] float32, V <= max(len(dirs), 8)."""
+    pts = np.asarray(points, np.float64)
+    try:
+        from scipy.spatial import ConvexHull
+
+        pts = pts[np.unique(ConvexHull(pts).vertices)]
+    except Exception:
+        pass  # degenerate/flat clouds: fall through to direction sampling
+    if pts.shape[0] <= len(dirs):
+        return np.unique(pts.astype(np.float32), axis=0)
+    idx = np.argmax(pts @ dirs.T.astype(np.float64), axis=0)  # [ndirs]
+    return np.unique(pts[idx].astype(np.float32), axis=0)
+
+
+def box_corners(halfext: np.ndarray) -> np.ndarray:
+    """The 8 corners of an origin-centered box — the box's exact support
+    cloud."""
+    h = np.asarray(halfext, np.float32)
+    s = np.array(
+        [(x, y, z) for x in (-1, 1) for y in (-1, 1) for z in (-1, 1)], np.float32
+    )
+    return s * h[None, :]
+
+
+def cylinder_cloud(radius: float, half_height: float, n_sides: int = 12) -> np.ndarray:
+    """Support cloud for a Y-axis cylinder: two n-gon rings (inscribed, so
+    the radius is underestimated by 1 - cos(pi/n) ~ 3.4% at n=12)."""
+    a = np.arange(n_sides) * (2 * np.pi / n_sides)
+    ring = np.stack([radius * np.cos(a), np.zeros(n_sides), radius * np.sin(a)], -1)
+    top = ring + np.array([0.0, half_height, 0.0])
+    bot = ring - np.array([0.0, half_height, 0.0])
+    return np.concatenate([top, bot]).astype(np.float32)
+
+
 @dataclass
 class ModelInfo:
     name: str
     model: Model
-    # Collision approximation for the batched narrowphase: an oriented box.
-    # Boxes are exact for cube.gmdl; convex hulls are approximated by their
-    # AABB for now (TODO(round2): hull SAT narrowphase).
+    # Oriented-box bound of the collision shape (inertia, broadphase
+    # margins, sleeping radius).
     box_halfext: np.ndarray  # [3]
     box_center: np.ndarray  # [3] box center in the body's local frame
     mass_default: float  # Jolt density-based default (1000 kg/m^3 * volume)
+    # Support vert cloud of the collision shape RELATIVE TO box_center
+    # (narrowphase support function input; box corners when the model has
+    # no hulls). Compound hulls are merged into one convex cloud
+    # (PARITY.md #3 note).
+    hull_verts: np.ndarray | None = None  # [V, 3]
 
 
 class AssetResolver:
@@ -65,11 +126,13 @@ class AssetResolver:
             # error-model fallback (ModelLoader.c:29-32,240-249)
             path = self.resolve("model/error.gmdl")
         m = decode_gmdl(path)
+        verts = None
         if m.collision_type == CollisionModelType.DYNAMIC and m.hulls:
             pts = np.concatenate([h["points"] + h["offset"][None] for h in m.hulls], axis=0)
             lo, hi = pts.min(0), pts.max(0)
             halfext = (hi - lo) * 0.5
             center = ((hi + lo) * 0.5).astype(np.float32)
+            verts = support_cloud(pts) - center[None, :]
         else:
             # JPH_BoxShape_Create(extents) is centered at the body origin
             # (ModelLoader.c:149 boundingBoxShape)
@@ -77,7 +140,7 @@ class AssetResolver:
             center = np.zeros(3, np.float32)
         halfext = np.maximum(halfext.astype(np.float32), 1e-3)
         volume = float(8.0 * halfext[0] * halfext[1] * halfext[2])
-        info = ModelInfo(rel, m, halfext, center, 1000.0 * volume)
+        info = ModelInfo(rel, m, halfext, center, 1000.0 * volume, verts)
         self._models[rel] = info
         return info
 

@@ -63,6 +63,7 @@ class CompiledMap:
     motion: jnp.ndarray  # [N] i32 Motion
     shape: jnp.ndarray  # [N] i32 Shape
     halfext: jnp.ndarray  # [N, 3]
+    hull_verts: jnp.ndarray  # [N, V, 3] support vert cloud rel. to shape_center
     shape_center: jnp.ndarray  # [N, 3] collision-box center in the body frame
     layer: jnp.ndarray  # [N] i32 Layer
     mass: jnp.ndarray  # [N]

@@ -25,7 +25,7 @@ BLK = 128
 K = 4
 
 
-def _kernel(tri_ref, idx_ref, cnt_ref, body_ref, out_ref, *, D):
+def _kernel(tri_ref, idx_ref, cnt_ref, body_ref, verts_ref, out_ref, *, D, is_box, V):
     for d in range(D):
         row = lambda k: body_ref[k, d : d + 1, :]  # [1, BLK]
         ccx, ccy, ccz = row(0), row(1), row(2)
@@ -67,9 +67,22 @@ def _kernel(tri_ref, idx_ref, cnt_ref, body_ref, out_ref, *, D):
             ny = jnp.where(dist > 1e-6, ry * flip, fny * side)
             nz = jnp.where(dist > 1e-6, rz * flip, fnz * side)
             signed = dx * nx + dy * ny + dz * nz
-            # box support radius along -n (toward the triangle)
+            # support radius along -n (toward the triangle); is_box is a
+            # compile-time per-body flag, so box bodies keep the closed
+            # form and only hull bodies (leafy/orb/eraser/john) pay the
+            # vert-cloud max (ConvexHullShape support, ModelLoader.c:323)
             lx, ly, lz = _qrot(-qx, -qy, -qz, qw, nx, ny, nz)
-            r_sup = jnp.abs(lx) * hx + jnp.abs(ly) * hy + jnp.abs(lz) * hz
+            if is_box[d]:
+                r_sup = jnp.abs(lx) * hx + jnp.abs(ly) * hy + jnp.abs(lz) * hz
+            else:
+                r_sup = None
+                for v in range(V):
+                    s = -(
+                        verts_ref[0, d, 3 * v] * lx
+                        + verts_ref[0, d, 3 * v + 1] * ly
+                        + verts_ref[0, d, 3 * v + 2] * lz
+                    )
+                    r_sup = s if r_sup is None else jnp.maximum(r_sup, s)
             depth = jnp.where((tvalid > 0.5) & (on > 0.5), r_sup - signed, -1e30)
 
             # chunk top-K by repeated max+mask, inserted into the running set.
@@ -103,11 +116,13 @@ def _kernel(tri_ref, idx_ref, cnt_ref, body_ref, out_ref, *, D):
         out_ref[7, d * K : (d + 1) * K, :] = jnp.zeros((K, ccx.shape[1]), jnp.float32)
 
 
-def body_contacts_pallas(tri16, chunk_bounds, body11, D, margin):
+def body_contacts_pallas(tri16, chunk_bounds, body11, D, margin, verts=None, is_box=None):
     """tri16 [T, 16]; chunk_bounds [T/T_CHUNK, 4]; body11 [16, D, B] comps
     (ccx ccy ccz qx qy qz qw hx hy hz on ...); margin = chunk skip radius,
-    scalar or per-body [D] (support diagonal + candidate slack). Returns
-    [8, D*K, B]: depth nx ny nz px py pz pad."""
+    scalar or per-body [D] (support diagonal + candidate slack);
+    verts [D, V, 3] support clouds rel. to the shape center with is_box a
+    static per-body tuple (True rows use the closed-form box support).
+    Returns [8, D*K, B]: depth nx ny nz px py pz pad."""
     import functools
 
     from c_game_engine_tpu.ops.chunk_compact import block_minmax, compact_chunk_lists
@@ -116,6 +131,12 @@ def body_contacts_pallas(tri16, chunk_bounds, body11, D, margin):
     assert B % BLK == 0
     T = tri16.shape[0]
     NC = chunk_bounds.shape[0]
+    if verts is None:
+        verts = jnp.zeros((D, 1, 3), jnp.float32)
+    if is_box is None:
+        is_box = (True,) * D
+    V = verts.shape[1]
+    verts3 = verts.reshape(1, D, V * 3)
 
     # per-(block, body) compacted chunk lists; lanes with on==0 (inactive or
     # padded dyn slots) are excluded from the AABB so fully-off bodies cost
@@ -130,15 +151,16 @@ def body_contacts_pallas(tri16, chunk_bounds, body11, D, margin):
     cnt = cnt.T[:, None, :]  # [G, 1, D] (SMEM windows: last two dims full)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, D=D),
+        functools.partial(_kernel, D=D, is_box=tuple(is_box), V=V),
         grid=(B // BLK,),
         in_specs=[
             pl.BlockSpec((T, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D, NC), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, D), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((16, D, BLK), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, V * 3), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((8, D * K, BLK), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, D * K, B), jnp.float32),
-    )(tri16, idx, cnt, body11)
+    )(tri16, idx, cnt, body11, verts3)
     return out

@@ -1,28 +1,35 @@
-"""Pallas TPU kernel: tile-based z-buffer rasterization (pass 1).
+"""Pallas TPU kernel: tile-based rasterization (z-buffer pass + in-kernel
+attribute interpolation).
 
-Replaces the XLA reference renderer's pass 1 (render/raster.py), which
-evaluated [CHUNK, H, W] edge functions through HBM (~240 ms/frame/env at
-256x256). The framebuffer is processed in (8, 128) VMEM tiles; an XLA-side
-binning pass (bin_triangles + gather_tiles) hands every tile a compacted
-block of just the triangles whose screen bbox overlaps it, and the kernel
-runs a dynamic-trip-count loop over that block — the z-buffer and winner
-id never leave registers until the tile is done.
+Replaces the XLA reference renderer's pass 1 AND the gather-heavy half of
+pass 2 (render/raster.py). The framebuffer is processed in (8, 128) VMEM
+tiles; an XLA-side binning pass (bin_triangles) hands every tile a
+compacted index list of the triangles whose screen bbox overlaps it, and
+the kernel runs two dynamic-trip loops over that list:
 
-The winner-id buffer feeds the unchanged pass-2 shading (the exact .gshd
-math in render/raster.py::shade), so Pallas and XLA paths produce the same
-image up to z-tie order.
+  loop 1: edge functions + affine z -> winner list-position per pixel
+          (registers only)
+  loop 2: re-visit the list; where a triangle owns pixels, emit its
+          perspective-corrected attributes (uv, lightmap uv, color,
+          frag depth, encoded tex/kind/shaded) with formulas written
+          identically to the XLA pass-2 (render/raster.py), so both
+          backends shade the same image.
+
+Triangle data stays in one VMEM-resident table [T, 48] (f32; lane-padded
+to 128 regardless of the column count, so 48 columns cost the same VMEM
+as 16) indexed by dynamic SUBLANE reads — the old per-tile pre-gather
+([NTy, NTx, L, 16] HBM blocks) was the single most expensive XLA stage at
+batch and is gone entirely.
 
 Mosaic notes that shaped this kernel:
-  * a [1, 1] vector can't broadcast across both sublanes and lanes, and a
-    dynamic *lane* index can't be proven aligned — but a scalar read at a
-    dynamic SUBLANE index with a static lane column compiles fine. Hence
-    the per-tile triangle block [L, 16]: triangle = sublane, field = lane.
-  * per-tile blocks are pre-gathered on the XLA side ([NTy, NTx, L, 16]);
-    streaming (1, 1, L, 16) VMEM blocks per grid step costs L*128*4 bytes
-    (lane pad 16->128) — 512 KB at L=1024, fine for double buffering.
+  * a scalar read at a dynamic SUBLANE index with a static lane column
+    compiles fine — triangle = sublane, field = lane.
+  * per-tile index lists live in SMEM ((1, 1, L) blocks, ~2 KB/tile).
 
-Fields: sx0 sy0 sx1 sy1 sx2 sy2 z0 z1 z2 id (f32; ids < 2^24 exact), pad
-to 16. vmap over envs adds the batch grid dimension.
+Column layout (f32): 0-5 sx0 sy0 sx1 sy1 sx2 sy2 | 6-8 z0 z1 z2 | 9 id |
+10-12 iw0 iw1 iw2 | 13-18 uv per vertex | 19-24 lmuv per vertex |
+25-36 rgba per vertex | 37 enc ((tex+1) | kind<<12 | shaded<<14, exact in
+f32). vmap over envs adds the batch grid dimension.
 """
 
 from __future__ import annotations
@@ -36,14 +43,14 @@ TILE_H = 8
 TILE_W = 128
 # Per-tile triangle list capacity. A tile whose overlap count exceeds this
 # drops the highest-index triangles (sky is bound last in gather_triangles,
-# so keep maps comfortably under the cap).
-L_CAP = 1024
+# so keep maps comfortably under the cap). Callers hand in compacted live
+# triangles (render/raster.py T_PRE), so per-tile overlap counts are small
+# (test.json 256^2 view peaks at 30).
+L_CAP = 512
+N_COLS = 48
 
 
-def _kernel(blk_ref, cnt_ref, z_ref, win_ref):
-    ty = pl.program_id(0)
-    tx = pl.program_id(1)
-    # Mosaic iota is integer-only; cast after generating
+def _grids(ty, tx):
     gx = (
         (tx * TILE_W).astype(jnp.float32)
         + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
@@ -54,34 +61,96 @@ def _kernel(blk_ref, cnt_ref, z_ref, win_ref):
         + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
         + 0.5
     )
+    return gx, gy
 
-    def body(j, carry):
-        zbuf, win = carry
-        # true scalar reads: dynamic sublane index j, static lane column
-        c = lambda k: blk_ref[0, 0, j, k]
-        ax, ay = c(0), c(1)
-        bx, by = c(2), c(3)
-        cx, cy = c(4), c(5)
-        z0, z1, z2 = c(6), c(7), c(8)
-        ti = c(9).astype(jnp.int32)
 
+def _kernel(
+    tri_ref, idx_ref, cnt_ref,
+    z_ref, win_ref, fd_ref, u_ref, v_ref, lu_ref, lv_ref,
+    cr_ref, cg_ref, cb_ref, ca_ref, enc_ref,
+):
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    gx, gy = _grids(ty, tx)
+    cnt = cnt_ref[0, 0, 0, 0]
+
+    def edges(ax, ay, bx, by, cx, cy):
         e0 = (bx - ax) * (gy - ay) - (by - ay) * (gx - ax)
         e1 = (cx - bx) * (gy - by) - (cy - by) * (gx - bx)
         e2 = (ax - cx) * (gy - cy) - (ay - cy) * (gx - cx)
+        return e0, e1, e2
+
+    # ---- loop 1: z winner (list position) ----
+    def body(j, carry):
+        zbuf, win = carry
+        i = idx_ref[0, 0, j, 0]
+        c = lambda k: tri_ref[i, k]
+        e0, e1, e2 = edges(c(0), c(1), c(2), c(3), c(4), c(5))
         inside = ((e0 <= 0) & (e1 <= 0) & (e2 <= 0)) | ((e0 >= 0) & (e1 >= 0) & (e2 >= 0))
         denom = e0 + e1 + e2
         denom = jnp.where(jnp.abs(denom) > 1e-9, denom, 1e-9)
-        z = (e1 * z0 + e2 * z1 + e0 * z2) / denom
+        z = (e1 * c(6) + e2 * c(7) + e0 * c(8)) / denom
         closer = inside & (z > 0.0) & (z < 1.0) & (z < zbuf)
         zbuf = jnp.where(closer, z, zbuf)
-        win = jnp.where(closer, ti, win)
+        win = jnp.where(closer, j, win)
         return zbuf, win
 
     z0buf = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
     w0 = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
-    zbuf, win = jax.lax.fori_loop(0, cnt_ref[0, 0, 0, 0], body, (z0buf, w0))
+    zbuf, win = jax.lax.fori_loop(0, cnt, body, (z0buf, w0))
+
+    # ---- loop 2: attributes of the winner (formulas identical to the XLA
+    # pass 2 in render/raster.py so both backends round the same way) ----
+    def body2(j, outs):
+        tid, fd, u, v, lu, lv, cr, cg, cb, ca, enc = outs
+        m = win == j
+        i = idx_ref[0, 0, j, 0]
+        c = lambda k: tri_ref[i, k]
+        e0, e1, e2 = edges(c(0), c(1), c(2), c(3), c(4), c(5))
+        denom = e0 + e1 + e2
+        denom = jnp.where(jnp.abs(denom) > 1e-9, denom, 1e-9)
+        b0, b1, b2 = e1 / denom, e2 / denom, e0 / denom
+        iw0, iw1, iw2 = c(10), c(11), c(12)
+        iw = b0 * iw0 + b1 * iw1 + b2 * iw2
+        pw = 1.0 / jnp.maximum(iw, 1e-12)
+        bw0, bw1, bw2 = b0 * iw0, b1 * iw1, b2 * iw2
+
+        def interp(k0):
+            return (bw0 * c(k0) + bw1 * c(k0 + 2) + bw2 * c(k0 + 4)) * pw
+
+        def interp4(k0):
+            return (bw0 * c(k0) + bw1 * c(k0 + 4) + bw2 * c(k0 + 8)) * pw
+
+        sel = lambda a, b_: jnp.where(m, a, b_)
+        tid = sel(c(9), tid)
+        fd = sel((b0 * c(6) + b1 * c(7) + b2 * c(8)) * pw, fd)
+        u = sel(interp(13), u)
+        v = sel(interp(14), v)
+        lu = sel(interp(19), lu)
+        lv = sel(interp(20), lv)
+        cr = sel(interp4(25), cr)
+        cg = sel(interp4(26), cg)
+        cb = sel(interp4(27), cb)
+        ca = sel(interp4(28), ca)
+        enc = sel(c(37), enc)
+        return tid, fd, u, v, lu, lv, cr, cg, cb, ca, enc
+
+    zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    outs0 = (zero - 1.0, zero, zero, zero, zero, zero, zero, zero, zero, zero, zero)
+    tid, fd, u, v, lu, lv, cr, cg, cb, ca, enc = jax.lax.fori_loop(0, cnt, body2, outs0)
+
     z_ref[...] = zbuf
-    win_ref[...] = win
+    win_ref[...] = tid.astype(jnp.int32)
+    fd_ref[...] = fd
+    u_ref[...] = u
+    v_ref[...] = v
+    lu_ref[...] = lu
+    lv_ref[...] = lv
+    cr_ref[...] = cr
+    cg_ref[...] = cg
+    cb_ref[...] = cb
+    ca_ref[...] = ca
+    enc_ref[...] = enc.astype(jnp.int32)
 
 
 def bin_triangles(sx, sy, tri_ok, height, width):
@@ -109,33 +178,34 @@ def bin_triangles(sx, sy, tri_ok, height, width):
     return idx, cnt[:, :, None, None]
 
 
-def gather_tiles(tri16, idx):
-    """XLA-side gather of per-tile triangle blocks: tri16 [T, 16] packed
-    screen-space triangles, idx [NTy, NTx, L] -> [NTy, NTx, L, 16]."""
-    return tri16[idx]
+def raster_tiles_pallas(tri48, idx, cnt, height, width):
+    """tri48 [T, 48] packed screen-space triangles + per-vertex attributes
+    (column layout in the module docstring); idx [NTy, NTx, L] per-tile
+    triangle lists from bin_triangles; cnt [NTy, NTx, 1, 1].
 
-
-def raster_tiles_pallas(tiles, cnt, height, width):
-    """tiles [NTy, NTx, L, 16] from gather_tiles; cnt [NTy, NTx, 1, 1].
-    Returns (zbuf [H, W] f32, winner [H, W] i32, -1 = none). vmap over the
+    Returns (zbuf, winner_id i32 (-1 none), frag_depth, uv_u, uv_v, lm_u,
+    lm_v, col_r, col_g, col_b, col_a, enc i32), each [H, W]. vmap over the
     env axis for batched rendering."""
-    nty, ntx, L, _ = tiles.shape
-    zbuf, win = pl.pallas_call(
+    nty, ntx, L = idx.shape
+    T = tri48.shape[0]
+    f32 = jnp.float32
+    idx4 = idx[..., None]  # trailing unit dim: Mosaic needs the last two
+    # block dims to equal the array dims for SMEM blocks
+    outs = pl.pallas_call(
         _kernel,
         grid=(nty, ntx),
         in_specs=[
-            pl.BlockSpec(
-                (1, 1, L, 16), lambda ty, tx: (ty, tx, 0, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((T, N_COLS), lambda ty, tx: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, L, 1), lambda ty, tx: (ty, tx, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1, 1), lambda ty, tx: (ty, tx, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx: (ty, tx)),
-            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx: (ty, tx)),
+            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx: (ty, tx)) for _ in range(12)
         ],
         out_shape=[
             jax.ShapeDtypeStruct((height, width), jnp.float32),
             jax.ShapeDtypeStruct((height, width), jnp.int32),
-        ],
-    )(tiles, cnt)
-    return zbuf, win
+        ] + [jax.ShapeDtypeStruct((height, width), f32) for _ in range(9)]
+        + [jax.ShapeDtypeStruct((height, width), jnp.int32)],
+    )(tri48, idx4, cnt[:, :, :, :])
+    return outs

@@ -157,6 +157,16 @@ def quat_rotate_inv_soa(qx, qy, qz, qw, vx, vy, vz):
     return quat_rotate_soa(-qx, -qy, -qz, qw, vx, vy, vz)
 
 
+def quat_mul_soa(ax_, ay_, az_, aw_, bx_, by_, bz_, bw_):
+    """Hamilton product a*b, component-wise."""
+    return (
+        aw_ * bx_ + ax_ * bw_ + ay_ * bz_ - az_ * by_,
+        aw_ * by_ - ax_ * bz_ + ay_ * bw_ + az_ * bx_,
+        aw_ * bz_ + ax_ * by_ - ay_ * bx_ + az_ * bw_,
+        aw_ * bw_ - ax_ * bx_ - ay_ * by_ - az_ * bz_,
+    )
+
+
 def closest_point_on_obb_soa(px, py, pz, ox, oy, oz, qx, qy, qz, qw, hx, hy, hz):
     """Closest point on an OBB (center o, quat q, half extents h) to p."""
     lx, ly, lz = quat_rotate_inv_soa(qx, qy, qz, qw, px - ox, py - oy, pz - oz)

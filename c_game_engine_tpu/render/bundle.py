@@ -64,6 +64,11 @@ class RenderBundle:
     vm_tex: jnp.ndarray  # [Tv] i32
     vm_item: jnp.ndarray  # [Tv] i32 which item id shows this model
 
+    # static upper bound on simultaneously-valid triangles in any frame
+    # (map + per-actor worst LOD + walls + sky) — sizes the pre-clip
+    # compaction in render/raster.py so it can never drop live geometry
+    live_tri_bound: int = struct.field(pytree_node=False, default=1 << 30)
+
     @property
     def num_map_tris(self):
         return self.map_pos.shape[0]
@@ -279,7 +284,29 @@ def build_render_bundle(cmap) -> RenderBundle:
 
     atlas = build_atlas([resolver.texture(n) for n in tex_names])
 
+    # static live-triangle bound: LOD selection keeps exactly one LOD per
+    # actor, so the worst case is each actor at its largest LOD
+    mdl_lod_np = np.asarray(mdl_lod)
+    ranges_np = np.asarray(ranges)
+    worst_lod = np.zeros(len(ranges_np), np.int64)
+    for m in range(len(ranges_np)):
+        s, c = ranges_np[m]
+        if c > 0:
+            lods_here = mdl_lod_np[s : s + c]
+            worst_lod[m] = max(
+                (lods_here == l).sum() for l in np.unique(lods_here)
+            )
+    model_id_np = np.asarray(cmap.model_id)
+    wall_axis_np = np.asarray(cmap.wall_axis)
+    live_bound = int(
+        len(map_pos)
+        + sum(int(worst_lod[m]) for m in model_id_np if m >= 0)
+        + 2 * int((wall_axis_np >= 0).sum())
+        + len(sky_pos)
+    )
+
     return RenderBundle(
+        live_tri_bound=live_bound,
         atlas=atlas,
         lightmap=cmap.lightmap,
         map_pos=jnp.asarray(map_pos),

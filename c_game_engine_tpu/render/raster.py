@@ -239,15 +239,28 @@ def _resolve_backend(backend, height, width):
 
 
 def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=None):
-    """Render one env's view. Returns f32 [H, W, 3] in [0, 1]."""
+    """Render one env's view. Returns f32 [H, W, 3] in [0, 1].
+
+    Pipeline (both backends): gather triangle soup -> PRE-CLIP compaction
+    by the validity mask (the pool carries every LOD of every actor, so
+    <10-15% is ever live; bundle.live_tri_bound proves the compacted cap
+    never drops live geometry) -> vertex transform + near clip + cull ->
+    pass 1 z-buffer -> pass 2 shading. The pallas backend interpolates
+    attributes inside the tile kernel (ops/raster_tiles.py); the xla
+    backend gathers per-pixel from a packed per-vertex table."""
     backend = _resolve_backend(backend, height, width)
     vp, cam_pos = camera_matrix(cmap, state, width, height, fov_deg)
     parts = gather_triangles(bundle, cmap, state, camera_pos_hint=cam_pos)
 
-    # sky triangles follow the camera (sky_v.gshd)
+    # sky triangles follow the camera (sky_v.gshd). Sky goes FIRST in the
+    # soup: cap overflow in the cull compaction below drops highest-index
+    # rows, and losing sky (half the frame) would be the worst failure
+    # mode. Sky depth is forced to 0.999999, below any world z, so soup
+    # order cannot change a z-tie against world geometry.
     ts = bundle.sky_pos.shape[0]
     if ts:
-        parts.append(
+        parts.insert(
+            0,
             dict(
                 pos=bundle.sky_pos + cam_pos[None, None, :],
                 uv=bundle.sky_uv,
@@ -258,7 +271,7 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=Non
                 shaded=jnp.zeros((ts,), bool),
                 valid=jnp.full((ts,), bundle.sky_tex >= 0),
                 twosided=jnp.ones((ts,), bool),
-            )
+            ),
         )
     tri = _concat_parts(parts)
     t_total = tri["pos"].shape[0]
@@ -269,9 +282,53 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=Non
         )
         tri["valid"] = tri["valid"].at[t_total:].set(False)
 
-    # ---- vertex transform ----
+    # ---- vertex transform (full soup) ----
     pos_h = jnp.concatenate([tri["pos"], jnp.ones((*tri["pos"].shape[:2], 1))], -1)
     clip = jnp.einsum("ij,tvj->tvi", vp, pos_h)  # [T,3,4]
+
+    # ---- pre-clip cull + compaction (stable order) ----
+    # Conservative keep mask evaluated BEFORE the expensive near-plane
+    # clip: invalid rows (the pool carries every LOD of every actor),
+    # fully-behind-camera rows, and — for triangles entirely in front of
+    # the near plane, where screen coords are already exact — backfaces.
+    # Triangles crossing the near plane are kept unconditionally. The
+    # pallas backend compacts to T_CULL rows so the post-clip table fits
+    # VMEM (live post-cull counts are ~1-3k on the shipped maps; a map
+    # that can exceed this — orb.gmap's 78k-triangle model — should use
+    # backend="xla", which compacts without a cap).
+    w0 = clip[..., 3]
+    any_pos = jnp.any(w0 > 0.01, axis=-1)
+    all_pos = jnp.all(w0 > 0.01, axis=-1)
+    inv_w0 = 1.0 / jnp.where(jnp.abs(w0) > 1e-9, w0, 1e-9)
+    sx0 = (clip[..., 0] * inv_w0 + 1.0) * 0.5 * width
+    sy0 = (clip[..., 1] * inv_w0 + 1.0) * 0.5 * height
+    area0 = (sx0[:, 1] - sx0[:, 0]) * (sy0[:, 2] - sy0[:, 0]) - (
+        sy0[:, 1] - sy0[:, 0]
+    ) * (sx0[:, 2] - sx0[:, 0])
+    if CULL_MODE == "neg":
+        front0 = (area0 < 0.0) | tri["twosided"]
+    elif CULL_MODE == "pos":
+        front0 = (area0 > 0.0) | tri["twosided"]
+    else:
+        front0 = jnp.ones_like(tri["twosided"])
+    keep = tri["valid"] & any_pos & (
+        ~all_pos | (front0 & (jnp.abs(area0) > 1e-9))
+    )
+    t = keep.shape[0]
+    if backend == "pallas":
+        cap = min(t, T_CULL)
+    else:
+        bound = -(-max(bundle.live_tri_bound, 1) // CHUNK) * CHUNK
+        cap = min(t, max(bound, CHUNK))
+    if cap < t:
+        order = jnp.sort(jnp.where(keep, jnp.arange(t, dtype=jnp.int32), t))[:cap]
+        safe = jnp.minimum(order, t - 1)
+        tri = {k: v[safe] for k, v in tri.items()}
+        tri["valid"] = tri["valid"] & (order < t)
+        clip = clip[safe]
+    else:
+        tri = dict(tri)
+        tri["valid"] = keep
 
     # ---- near-plane clipping: 1 triangle -> up to 2 ----
     clip, tri = _clip_near(clip, tri)
@@ -304,47 +361,90 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=Non
     py = jnp.arange(height, dtype=jnp.float32) + 0.5
     gx, gy = jnp.meshgrid(px, py)
 
+    enc = (
+        (tri["tex"] + 1)
+        | (tri["kind"] << 12)
+        | (tri["shaded"].astype(jnp.int32) << 14)
+    )  # [T]
+
     if backend == "pallas":
-        winner = _pass1_pallas(sx, sy, sz, tri_ok, height, width)
+        from c_game_engine_tpu.ops.raster_tiles import bin_triangles, raster_tiles_pallas
+
+        t_act = sx.shape[0]
+        cols = [
+            sx[:, 0], sy[:, 0], sx[:, 1], sy[:, 1], sx[:, 2], sy[:, 2],
+            sz[:, 0], sz[:, 1], sz[:, 2],
+            jnp.arange(t_act, dtype=jnp.float32),  # exact in f32 < 2^24
+            inv_w[:, 0], inv_w[:, 1], inv_w[:, 2],
+            tri["uv"][:, 0, 0], tri["uv"][:, 0, 1],
+            tri["uv"][:, 1, 0], tri["uv"][:, 1, 1],
+            tri["uv"][:, 2, 0], tri["uv"][:, 2, 1],
+            tri["lmuv"][:, 0, 0], tri["lmuv"][:, 0, 1],
+            tri["lmuv"][:, 1, 0], tri["lmuv"][:, 1, 1],
+            tri["lmuv"][:, 2, 0], tri["lmuv"][:, 2, 1],
+        ]
+        for vtx in range(3):
+            for ch in range(4):
+                cols.append(tri["color"][:, vtx, ch])
+        cols.append(enc.astype(jnp.float32))  # col 37, exact (< 2^15)
+        tri48 = jnp.stack(
+            cols + [jnp.zeros_like(sx[:, 0])] * (48 - len(cols)), axis=-1
+        )
+        idx, cnt = bin_triangles(sx, sy, tri_ok, height, width)
+        outs = raster_tiles_pallas(tri48, idx, cnt, height, width)
+        (_zb, winner, frag_depth, uv_u, uv_v, lm_u, lm_v,
+         col_r, col_g, col_b, col_a, genc) = outs
+        has = winner >= 0
+        uv = jnp.stack([uv_u, uv_v], -1)
+        lmuv = jnp.stack([lm_u, lm_v], -1)
+        color = jnp.stack([col_r, col_g, col_b, col_a], -1)
     else:
         winner = _pass1_xla(sx, sy, sz, tri_ok, gx, gy, height, width)
 
-    # ---- pass 2: shade winners ----
-    has = winner >= 0
-    widx = jnp.clip(winner, 0, None)
-    v_sx = sx[widx]  # [H, W, 3]
-    v_sy = sy[widx]
-    v_iw = inv_w[widx]
+        # ---- pass 2 (xla): one packed per-vertex table + one encoded
+        # per-tri int so the per-pixel lookup is 2 HBM gathers instead of 8
+        vattr = jnp.concatenate(
+            [sx[..., None], sy[..., None], inv_w[..., None], sz[..., None],
+             tri["uv"], tri["lmuv"], tri["color"]],
+            -1,
+        )  # [T, 3, 12]
+        has = winner >= 0
+        widx = jnp.clip(winner, 0, None)
+        ga = vattr[widx]  # [H, W, 3, 12]
+        v_sx = ga[..., 0]
+        v_sy = ga[..., 1]
+        v_iw = ga[..., 2]
 
-    def edge_at(i, j):
-        return (v_sx[..., j] - v_sx[..., i]) * (gy - v_sy[..., i]) - (
-            v_sy[..., j] - v_sy[..., i]
-        ) * (gx - v_sx[..., i])
+        def edge_at(i, j):
+            return (v_sx[..., j] - v_sx[..., i]) * (gy - v_sy[..., i]) - (
+                v_sy[..., j] - v_sy[..., i]
+            ) * (gx - v_sx[..., i])
 
-    e0 = edge_at(0, 1)
-    e1 = edge_at(1, 2)
-    e2 = edge_at(2, 0)
-    denom = e0 + e1 + e2
-    denom = jnp.where(jnp.abs(denom) > 1e-9, denom, 1e-9)
-    b = jnp.stack([e1 / denom, e2 / denom, e0 / denom], -1)  # [H, W, 3]
+        e0 = edge_at(0, 1)
+        e1 = edge_at(1, 2)
+        e2 = edge_at(2, 0)
+        denom = e0 + e1 + e2
+        denom = jnp.where(jnp.abs(denom) > 1e-9, denom, 1e-9)
+        b = jnp.stack([e1 / denom, e2 / denom, e0 / denom], -1)  # [H, W, 3]
 
-    # perspective-correct interpolation
-    iw = jnp.sum(b * v_iw, -1)  # interp(1/w)
-    pw = 1.0 / jnp.maximum(iw, 1e-12)
+        # perspective-correct interpolation
+        iw = jnp.sum(b * v_iw, -1)  # interp(1/w)
+        pw = 1.0 / jnp.maximum(iw, 1e-12)
+        bw = (b * v_iw)[..., None]
 
-    def interp(attr):  # attr [T, 3, K]
-        av = attr[widx]  # [H, W, 3, K]
-        return jnp.sum(av * (b * v_iw)[..., None], axis=-2) * pw[..., None]
+        def interp(sl):  # channel slice of the packed gather
+            return jnp.sum(ga[..., sl] * bw, axis=-2) * pw[..., None]
 
-    uv = interp(tri["uv"])
-    lmuv = interp(tri["lmuv"])
-    color = interp(tri["color"])
-    z_pix = jnp.sum(b * sz[widx], -1)
-    frag_depth = z_pix * pw  # gl_FragCoord.z / gl_FragCoord.w
+        uv = interp(slice(4, 6))
+        lmuv = interp(slice(6, 8))
+        color = interp(slice(8, 12))
+        z_pix = jnp.sum(b * ga[..., 3], -1)
+        frag_depth = z_pix * pw  # gl_FragCoord.z / gl_FragCoord.w
+        genc = enc[widx]
 
-    tex_id = tri["tex"][widx]
-    kind = tri["kind"][widx]
-    shaded = tri["shaded"][widx]
+    tex_id = (genc & 0xFFF) - 1
+    kind = (genc >> 12) & 3
+    shaded = ((genc >> 14) & 1).astype(bool)
 
     rgb = shade(
         bundle, state, gx, gy, uv, lmuv, color, tex_id, kind, shaded, frag_depth
@@ -403,32 +503,10 @@ def _pass1_xla(sx, sy, sz, tri_ok, gx, gy, height, width):
     return winner
 
 
-def _pass1_pallas(sx, sy, sz, tri_ok, height, width):
-    """Tile-kernel z-buffer pass: bin triangles to (8, 128) framebuffer
-    tiles and pre-gather per-tile triangle blocks on the XLA side, then run
-    ops/raster_tiles.py per tile."""
-    from c_game_engine_tpu.ops.raster_tiles import (
-        bin_triangles,
-        gather_tiles,
-        raster_tiles_pallas,
-    )
-
-    t = sx.shape[0]
-    ids = jnp.arange(t, dtype=jnp.float32)  # exact in f32 for t < 2^24
-    tri16 = jnp.concatenate(
-        [
-            jnp.stack(
-                [sx[:, 0], sy[:, 0], sx[:, 1], sy[:, 1], sx[:, 2], sy[:, 2],
-                 sz[:, 0], sz[:, 1], sz[:, 2], ids],
-                -1,
-            ),
-            jnp.zeros((t, 6), jnp.float32),
-        ],
-        -1,
-    )
-    idx, cnt = bin_triangles(sx, sy, tri_ok, height, width)
-    _, winner = raster_tiles_pallas(gather_tiles(tri16, idx), cnt, height, width)
-    return winner
+# Post-cull live-triangle cap for the pallas backend's compaction in
+# render(): the near-clipped table (2x this) must fit VMEM as a [T, 128]
+# f32 block. Shipped-map live counts post-cull are ~1-3k at 256^2.
+T_CULL = 4096
 
 
 def _clip_near(clip, tri, near_w=0.01):

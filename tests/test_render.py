@@ -117,10 +117,13 @@ def test_hud_composite(test_map):
 
 
 def test_pallas_raster_backend_matches_xla(test_map):
-    """The tile-kernel pass 1 (ops/raster_tiles.py, interpret mode on CPU)
-    must produce the exact frame the XLA reference pass 1 does — both
-    backends share the triangle setup and pass-2 shading, and write the
-    identical edge/z expressions."""
+    """The tile kernel (ops/raster_tiles.py, interpret mode on CPU) must
+    produce the same frame as the XLA reference path. Pass 1 (edge/z
+    winner) is written identically in both; since pass 2 moved INSIDE the
+    kernel (attribute interpolation in loop 2), per-pixel values may round
+    differently than the XLA gather-based interpolation — the bound below
+    is far under a display quantum (1/255 ~ 4e-3), so any real divergence
+    (wrong winner, wrong attribute wiring) still fails."""
     from jax.experimental.pallas import tpu as pltpu
 
     from c_game_engine_tpu.core.actions import Actions
@@ -139,4 +142,4 @@ def test_pallas_raster_backend_matches_xla(test_map):
     ref = np.asarray(render(rb, cm, st, 128, 128, backend="xla"))
     with pltpu.force_tpu_interpret_mode():
         out = np.asarray(render(rb, cm, st, 128, 128, backend="pallas"))
-    np.testing.assert_array_equal(out, ref)
+    np.testing.assert_allclose(out, ref, atol=2e-4)
