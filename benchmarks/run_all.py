@@ -13,8 +13,9 @@ max_box+too_many_lights):
   max_box         max-extent sector stress (compiled from mapSources JSON)
   too_many_lights 36-point-light bake stress
 
---render additionally benchmarks frame throughput (256x256 frames/s/chip)
-on each config.
+--render additionally benchmarks frame throughput (256x256 frames/s/chip,
+batch 64 — the cull/bin intermediates scale with batch x triangle soup and
+batch 64 already saturates the chip; see BASELINE.md) on each config.
 
 NOTE: small/dispatch-bound configs are only valid run in isolation — a
 concurrent host workload costs them ~25% (BASELINE.md round-1 note).
@@ -129,7 +130,7 @@ def main():
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--ticks", type=int, default=240)
     ap.add_argument("--render", action="store_true", help="also benchmark frame throughput")
-    ap.add_argument("--render-batch", type=int, default=256)
+    ap.add_argument("--render-batch", type=int, default=64)
     ap.add_argument("--render-frames", type=int, default=4)
     ap.add_argument("--only", type=str, default=None, help="comma-separated config subset")
     args = ap.parse_args()

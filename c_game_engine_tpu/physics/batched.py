@@ -2,9 +2,11 @@
 
 These are the hot paths of the tick, hand-batched over the env axis instead
 of vmapped, so every large intermediate has its two minor dimensions dense
-on the TPU's (8, 128) tiles (see geometry_soa.py for why). Semantics match
-physics/character.py and physics/bodies.py, which remain the single-env
-reference implementations.
+on the TPU's (8, 128) tiles (see geometry_soa.py for why). The character
+path matches physics/character.py (the readable single-env reference,
+cross-validated against the C++ double-precision oracle in
+tests/test_native.py); the rigid-body path's behavioral contract lives in
+tests/test_stacking.py and tests/test_hulls.py.
 
 Shapes (B = env batch, L = grid candidate lanes, N = actor slots,
 D = dynamic-body slots, K = contact manifold size):
@@ -587,205 +589,6 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
     p_n = fidx % n  # [P, B] B-side actor slot
     a_act = slc[p_d]  # [P, B] A-side actor slot
 
-    gA2 = lambda a: jnp.take_along_axis(a, p_d, axis=0)  # [D, B] -> [P, B]
-    gB2 = lambda a: jnp.take_along_axis(a, p_n, axis=0)  # [N, B] -> [P, B]
-    pA_cx, pA_cy, pA_cz = gA2(ccx0), gA2(ccy0), gA2(ccz0)
-    pA_qx, pA_qy, pA_qz, pA_qw = gA2(dqx), gA2(dqy), gA2(dqz), gA2(dqw)
-    pB_cx, pB_cy, pB_cz = gB2(o_cx), gB2(o_cy), gB2(o_cz)
-    pB_qx, pB_qy, pB_qz, pB_qw = gB2(oqx), gB2(oqy), gB2(oqz), gB2(oqw)
-    hax, hay, haz = (cmap.halfext[:, k][a_act] for k in range(3))
-    hbx, hby, hbz = (cmap.halfext[:, k][p_n] for k in range(3))
-    a_invm = cmap.inv_mass[a_act]
-    b_invm = gB2(o_inv_m)
-    a_iIx, a_iIy, a_iIz = (cmap.inv_inertia[:, k][a_act] for k in range(3))
-    b_iIx, b_iIy, b_iIz = (cmap.inv_inertia[:, k][p_n] for k in range(3))
-    b_dyn = (a2d[p_n] >= 0) & pr_on
-    b_dl = jnp.clip(a2d[p_n], 0, D - 1)
-    b_dynf = b_dyn.astype(jnp.float32)
-    b_iIx, b_iIy, b_iIz = b_iIx * b_dynf, b_iIy * b_dynf, b_iIz * b_dynf
-    # kinematic/static B-side velocity contribution (doors push boxes)
-    vkBx = gB2(ovx) * (1.0 - b_dynf)
-    vkBy = gB2(ovy) * (1.0 - b_dynf)
-    vkBz = gB2(ovz) * (1.0 - b_dynf)
-    tx_p = pA_cx - pB_cx
-    ty_p = pA_cy - pB_cy
-    tz_p = pA_cz - pB_cz
-
-    # per-side support vert clouds [P, NV, B] (boxes synthesize their 8
-    # signed corners from halfext — no gathers, exact)
-    use_hulls_pair = not cmap.aux["hulls_are_boxes"]
-    if use_hulls_pair:
-        vA_x = cmap.hull_verts[:, :, 0][a_act].transpose(0, 2, 1)  # [P, NV, B]
-        vA_y = cmap.hull_verts[:, :, 1][a_act].transpose(0, 2, 1)
-        vA_z = cmap.hull_verts[:, :, 2][a_act].transpose(0, 2, 1)
-        vB_x = cmap.hull_verts[:, :, 0][p_n].transpose(0, 2, 1)
-        vB_y = cmap.hull_verts[:, :, 1][p_n].transpose(0, 2, 1)
-        vB_z = cmap.hull_verts[:, :, 2][p_n].transpose(0, 2, 1)
-    else:
-        import numpy as np
-
-        _signs = np.array(
-            [
-                (sx_, sy_, sz_)
-                for sx_ in (-1.0, 1.0)
-                for sy_ in (-1.0, 1.0)
-                for sz_ in (-1.0, 1.0)
-            ],
-            np.float32,
-        )
-        s_of = lambda k: jnp.asarray(_signs[:, k])[None, :, None]  # [1, 8, 1]
-        vA_x, vA_y, vA_z = (s_of(k_) * h_[:, None, :] for k_, h_ in enumerate((hax, hay, haz)))
-        vB_x, vB_y, vB_z = (s_of(k_) * h_[:, None, :] for k_, h_ in enumerate((hbx, hby, hbz)))
-    NV = vA_x.shape[1]
-
-    def _sup_pm(qx_, qy_, qz_, qw_, vx_, vy_, vz_, ax_, ay_, az_):
-        """(support along +a, support along -a) of a vert cloud [P, NV, B],
-        world axis a [P, B], measured from the cloud's center."""
-        lx_, ly_, lz_ = g.quat_rotate_inv_soa(qx_, qy_, qz_, qw_, ax_, ay_, az_)
-        d_ = vx_ * lx_[:, None, :] + vy_ * ly_[:, None, :] + vz_ * lz_[:, None, :]
-        return jnp.max(d_, axis=1), jnp.max(-d_, axis=1)
-
-    # ---- SAT axes ----
-    onep = jnp.ones_like(tx_p)
-    zerop = jnp.zeros_like(tx_p)
-    axesA = [
-        g.quat_rotate_soa(pA_qx, pA_qy, pA_qz, pA_qw, onep, zerop, zerop),
-        g.quat_rotate_soa(pA_qx, pA_qy, pA_qz, pA_qw, zerop, onep, zerop),
-        g.quat_rotate_soa(pA_qx, pA_qy, pA_qz, pA_qw, zerop, zerop, onep),
-    ]
-    axesB = [
-        g.quat_rotate_soa(pB_qx, pB_qy, pB_qz, pB_qw, onep, zerop, zerop),
-        g.quat_rotate_soa(pB_qx, pB_qy, pB_qz, pB_qw, zerop, onep, zerop),
-        g.quat_rotate_soa(pB_qx, pB_qy, pB_qz, pB_qw, zerop, zerop, onep),
-    ]
-    axes = [(a_, False) for a_ in axesA + axesB]
-    for ia in range(3):
-        for ib in range(3):
-            axes.append((g.cross3(*axesA[ia], *axesB[ib]), True))
-    axes.append(((tx_p, ty_p, tz_p), True))  # center axis (round hulls)
-
-    sat_d = jnp.full_like(tx_p, jnp.inf)
-    pn2_x, pn2_y, pn2_z = zerop, onep, zerop
-    for (ax_, ay_, az_), needs_norm in axes:
-        if needs_norm:
-            len2 = ax_ * ax_ + ay_ * ay_ + az_ * az_
-            axis_ok = len2 > 1e-12
-            inv_l = jax.lax.rsqrt(jnp.maximum(len2, 1e-12))
-            ax_, ay_, az_ = ax_ * inv_l, ay_ * inv_l, az_ * inv_l
-        supAp, supAm = _sup_pm(pA_qx, pA_qy, pA_qz, pA_qw, vA_x, vA_y, vA_z, ax_, ay_, az_)
-        supBp, supBm = _sup_pm(pB_qx, pB_qy, pB_qz, pB_qw, vB_x, vB_y, vB_z, ax_, ay_, az_)
-        tdot = tx_p * ax_ + ty_p * ay_ + tz_p * az_
-        pen_p = supBp + supAm - tdot  # A toward +a side of B
-        pen_m = supBm + supAp + tdot
-        d_ax = jnp.minimum(pen_p, pen_m)
-        if needs_norm:
-            d_ax = jnp.where(axis_ok, d_ax, jnp.inf)
-        sgn = jnp.where(pen_p <= pen_m, 1.0, -1.0)
-        upd = d_ax < sat_d
-        sat_d = jnp.where(upd, d_ax, sat_d)
-        pn2_x = jnp.where(upd, ax_ * sgn, pn2_x)
-        pn2_y = jnp.where(upd, ay_ * sgn, pn2_y)
-        pn2_z = jnp.where(upd, az_ * sgn, pn2_z)
-
-    # ---- manifold candidates along the SAT normal (n points B -> A) ----
-    lAx, lAy, lAz = g.quat_rotate_inv_soa(pA_qx, pA_qy, pA_qz, pA_qw, pn2_x, pn2_y, pn2_z)
-    lBx, lBy, lBz = g.quat_rotate_inv_soa(pB_qx, pB_qy, pB_qz, pB_qw, pn2_x, pn2_y, pn2_z)
-    tn_p = tx_p * pn2_x + ty_p * pn2_y + tz_p * pn2_z
-    # relative rotations for lateral clipping (vert of one body in the
-    # other's local box frame)
-    qBAx, qBAy, qBAz, qBAw = g.quat_mul_soa(
-        -pB_qx, -pB_qy, -pB_qz, pB_qw, pA_qx, pA_qy, pA_qz, pA_qw
-    )
-    qABx, qABy, qABz, qABw = g.quat_mul_soa(
-        -pA_qx, -pA_qy, -pA_qz, pA_qw, pB_qx, pB_qy, pB_qz, pB_qw
-    )
-    tBx, tBy, tBz = g.quat_rotate_inv_soa(pB_qx, pB_qy, pB_qz, pB_qw, tx_p, ty_p, tz_p)
-    tAx, tAy, tAz = g.quat_rotate_inv_soa(pA_qx, pA_qy, pA_qz, pA_qw, tx_p, ty_p, tz_p)
-
-    # vert dots along n (per-vert, [P, NV, B]) + support points for the
-    # edge-edge candidate
-    e5 = lambda a: a[:, None, :]  # [P, B] -> [P, 1, B]
-    dA_n = vA_x * e5(lAx) + vA_y * e5(lAy) + vA_z * e5(lAz)
-    dB_n = vB_x * e5(lBx) + vB_y * e5(lBy) + vB_z * e5(lBz)
-    supAm_n = jnp.max(-dA_n, axis=1)  # A's extent toward B (along -n)
-    supBp_n = jnp.max(dB_n, axis=1)  # B's extent toward A (along +n)
-    iA_ = jnp.argmin(dA_n, axis=1)[:, None, :]  # A's support vert along -n
-    iB_ = jnp.argmax(dB_n, axis=1)[:, None, :]
-    tk1 = lambda a, i_: jnp.take_along_axis(a, i_, axis=1)[:, 0, :]
-    eA_x, eA_y, eA_z = tk1(vA_x, iA_), tk1(vA_y, iA_), tk1(vA_z, iA_)
-    eB_x, eB_y, eB_z = tk1(vB_x, iB_), tk1(vB_y, iB_), tk1(vB_z, iB_)
-
-    LAT_M = 0.05
-    # A's verts into B: depth along n + lateral containment in B's box
-    e5q = lambda q: q[:, None, :]
-    dvA = e5(supBp_n - tn_p) - dA_n  # [P, NV, B]
-    liAx, liAy, liAz = g.quat_rotate_soa(
-        e5q(qBAx), e5q(qBAy), e5q(qBAz), e5q(qBAw), vA_x, vA_y, vA_z
-    )
-    latA = (
-        (jnp.abs(liAx + e5(tBx)) <= e5(hbx) + LAT_M)
-        & (jnp.abs(liAy + e5(tBy)) <= e5(hby) + LAT_M)
-        & (jnp.abs(liAz + e5(tBz)) <= e5(hbz) + LAT_M)
-    )
-    wAx, wAy, wAz = g.quat_rotate_soa(
-        e5q(pA_qx), e5q(pA_qy), e5q(pA_qz), e5q(pA_qw), vA_x, vA_y, vA_z
-    )
-    # B's verts into A
-    dvB = e5(supAm_n - tn_p) + dB_n
-    liBx, liBy, liBz = g.quat_rotate_soa(
-        e5q(qABx), e5q(qABy), e5q(qABz), e5q(qABw), vB_x, vB_y, vB_z
-    )
-    latB = (
-        (jnp.abs(liBx - e5(tAx)) <= e5(hax) + LAT_M)
-        & (jnp.abs(liBy - e5(tAy)) <= e5(hay) + LAT_M)
-        & (jnp.abs(liBz - e5(tAz)) <= e5(haz) + LAT_M)
-    )
-    wBx, wBy, wBz = g.quat_rotate_soa(
-        e5q(pB_qx), e5q(pB_qy), e5q(pB_qz), e5q(pB_qw), vB_x, vB_y, vB_z
-    )
-    # edge-edge / deep-support fallback: midpoint of the two support points
-    eAw = g.quat_rotate_soa(pA_qx, pA_qy, pA_qz, pA_qw, eA_x, eA_y, eA_z)
-    eBw = g.quat_rotate_soa(pB_qx, pB_qy, pB_qz, pB_qw, eB_x, eB_y, eB_z)
-
-    cat = lambda a_, b_, c_: jnp.concatenate([a_, b_, c_[:, None, :]], axis=1)
-    sat_b = sat_d[:, None, :]
-    dstack = cat(
-        jnp.minimum(dvA, sat_b), jnp.minimum(dvB, sat_b), sat_d - 1e-4
-    )  # [P, C, B]
-    ok_stack = cat(latA, latB, jnp.ones_like(pr_on))
-    pxs = cat(e5(pA_cx) + wAx, e5(pB_cx) + wBx, 0.5 * (pA_cx + eAw[0] + pB_cx + eBw[0]))
-    pys = cat(e5(pA_cy) + wAy, e5(pB_cy) + wBy, 0.5 * (pA_cy + eAw[1] + pB_cy + eBw[1]))
-    pzs = cat(e5(pA_cz) + wAz, e5(pB_cz) + wBz, 0.5 * (pA_cz + eAw[2] + pB_cz + eBw[2]))
-
-    C = dstack.shape[1]
-    live_gate = pr_on & (sat_d > -PAIR_CAND_SLACK)
-    dstack = jnp.where(ok_stack & live_gate[:, None, :], dstack, -jnp.inf)
-    selp = [[] for _ in range(4)]
-    dwork_p = dstack
-    for _k in range(K2):
-        i_ = jnp.argmax(dwork_p, axis=1)  # [P, B]
-        tkp = lambda a_: jnp.take_along_axis(a_, i_[:, None, :], axis=1)[:, 0, :]
-        for li_, a_ in enumerate((dwork_p, pxs, pys, pzs)):
-            selp[li_].append(tkp(a_))
-        dwork_p = jnp.where(
-            jnp.arange(C)[None, :, None] == i_[:, None, :], -jnp.inf, dwork_p
-        )
-    pd0 = jnp.stack(selp[0], 1)  # [P, K2, B] depth at generation
-    pp_x = jnp.stack(selp[1], 1)
-    pp_y = jnp.stack(selp[2], 1)
-    pp_z = jnp.stack(selp[3], 1)
-    pcand_live = pd0 > -PAIR_CAND_SLACK
-
-    # one-hot scatter/gather maps for the solver (dynamic per-env pair ->
-    # dyn-lane routing as MXU contractions, not batched scatters)
-    ohA = (
-        (p_d[:, None, :] == jnp.arange(D)[None, :, None]) & pr_on[:, None, :]
-    ).astype(jnp.float32)  # [P, D, B]
-    ohB = (
-        (b_dl[:, None, :] == jnp.arange(D)[None, :, None]) & b_dyn[:, None, :]
-    ).astype(jnp.float32)
-    a_mu_p = jnp.sqrt(cmap.friction[a_act] * cmap.friction[p_n])  # geometric mean
-
     # ------------------------------------------------------- body sleeping
     # A body below the velocity threshold for SLEEP_AFTER ticks freezes:
     # no gravity/integration, no triangle-contact generation (its compacted
@@ -814,7 +617,234 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
     p_speed2 = jnp.sum(player_vel * player_vel, -1)[None]  # [1, B]
     wake_player = (0.9 * rsw + CAPSULE_RADIUS - pdw > -0.05) & (p_speed2 > SLEEP_SPEED2)
     awake = d_on_t & (~asleep0 | self_moving | wake_pair | wake_player)
+    # static dyn-lane -> actor one-hot (also used by the final writeback)
+    d2n = ((sl[:, None] == jnp.arange(n)[None, :]) & (sl >= 0)[:, None]).astype(
+        jnp.float32
+    )  # [D, N] static
+    # batch-global pair-activity gate: the expensive SAT generation and the
+    # in-substep pair solve run under lax.cond, so ticks where every
+    # broadphase pair candidate is fully asleep (the common steady state —
+    # resting stacks, settled props) skip them entirely. A candidate is
+    # live when either side is awake; kinematic movers and the player wake
+    # sleeping bodies through wake_pair/wake_player first, which flips this
+    # gate the following tick.
+    awake_nb = jnp.einsum("db,dn->nb", awake.astype(jnp.float32), d2n) > 0.5  # [N, B]
+    pair_any = jnp.any(pair_bp & (awake[:, None, :] | awake_nb[None, :, :]))
 
+
+    def _pair_gen(_):
+        gA2 = lambda a: jnp.take_along_axis(a, p_d, axis=0)  # [D, B] -> [P, B]
+        gB2 = lambda a: jnp.take_along_axis(a, p_n, axis=0)  # [N, B] -> [P, B]
+        pA_cx, pA_cy, pA_cz = gA2(ccx0), gA2(ccy0), gA2(ccz0)
+        pA_qx, pA_qy, pA_qz, pA_qw = gA2(dqx), gA2(dqy), gA2(dqz), gA2(dqw)
+        pB_cx, pB_cy, pB_cz = gB2(o_cx), gB2(o_cy), gB2(o_cz)
+        pB_qx, pB_qy, pB_qz, pB_qw = gB2(oqx), gB2(oqy), gB2(oqz), gB2(oqw)
+        hax, hay, haz = (cmap.halfext[:, k][a_act] for k in range(3))
+        hbx, hby, hbz = (cmap.halfext[:, k][p_n] for k in range(3))
+        a_invm = cmap.inv_mass[a_act]
+        b_invm = gB2(o_inv_m)
+        a_iIx, a_iIy, a_iIz = (cmap.inv_inertia[:, k][a_act] for k in range(3))
+        b_iIx, b_iIy, b_iIz = (cmap.inv_inertia[:, k][p_n] for k in range(3))
+        b_dyn = (a2d[p_n] >= 0) & pr_on
+        b_dl = jnp.clip(a2d[p_n], 0, D - 1)
+        b_dynf = b_dyn.astype(jnp.float32)
+        b_iIx, b_iIy, b_iIz = b_iIx * b_dynf, b_iIy * b_dynf, b_iIz * b_dynf
+        # kinematic/static B-side velocity contribution (doors push boxes)
+        vkBx = gB2(ovx) * (1.0 - b_dynf)
+        vkBy = gB2(ovy) * (1.0 - b_dynf)
+        vkBz = gB2(ovz) * (1.0 - b_dynf)
+        tx_p = pA_cx - pB_cx
+        ty_p = pA_cy - pB_cy
+        tz_p = pA_cz - pB_cz
+
+        # per-side support vert clouds [P, NV, B] (boxes synthesize their 8
+        # signed corners from halfext — no gathers, exact)
+        use_hulls_pair = not cmap.aux["hulls_are_boxes"]
+        if use_hulls_pair:
+            vA_x = cmap.hull_verts[:, :, 0][a_act].transpose(0, 2, 1)  # [P, NV, B]
+            vA_y = cmap.hull_verts[:, :, 1][a_act].transpose(0, 2, 1)
+            vA_z = cmap.hull_verts[:, :, 2][a_act].transpose(0, 2, 1)
+            vB_x = cmap.hull_verts[:, :, 0][p_n].transpose(0, 2, 1)
+            vB_y = cmap.hull_verts[:, :, 1][p_n].transpose(0, 2, 1)
+            vB_z = cmap.hull_verts[:, :, 2][p_n].transpose(0, 2, 1)
+        else:
+            import numpy as np
+
+            _signs = np.array(
+                [
+                    (sx_, sy_, sz_)
+                    for sx_ in (-1.0, 1.0)
+                    for sy_ in (-1.0, 1.0)
+                    for sz_ in (-1.0, 1.0)
+                ],
+                np.float32,
+            )
+            s_of = lambda k: jnp.asarray(_signs[:, k])[None, :, None]  # [1, 8, 1]
+            vA_x, vA_y, vA_z = (s_of(k_) * h_[:, None, :] for k_, h_ in enumerate((hax, hay, haz)))
+            vB_x, vB_y, vB_z = (s_of(k_) * h_[:, None, :] for k_, h_ in enumerate((hbx, hby, hbz)))
+        NV = vA_x.shape[1]
+        def _sup_pm(qx_, qy_, qz_, qw_, vx_, vy_, vz_, ax_, ay_, az_):
+            """(support along +a, support along -a) of a vert cloud [P, NV, B],
+            world axis a [P, B], measured from the cloud's center."""
+            lx_, ly_, lz_ = g.quat_rotate_inv_soa(qx_, qy_, qz_, qw_, ax_, ay_, az_)
+            d_ = vx_ * lx_[:, None, :] + vy_ * ly_[:, None, :] + vz_ * lz_[:, None, :]
+            return jnp.max(d_, axis=1), jnp.max(-d_, axis=1)
+
+        # ---- SAT axes ----
+        onep = jnp.ones_like(tx_p)
+        zerop = jnp.zeros_like(tx_p)
+        axesA = [
+            g.quat_rotate_soa(pA_qx, pA_qy, pA_qz, pA_qw, onep, zerop, zerop),
+            g.quat_rotate_soa(pA_qx, pA_qy, pA_qz, pA_qw, zerop, onep, zerop),
+            g.quat_rotate_soa(pA_qx, pA_qy, pA_qz, pA_qw, zerop, zerop, onep),
+        ]
+        axesB = [
+            g.quat_rotate_soa(pB_qx, pB_qy, pB_qz, pB_qw, onep, zerop, zerop),
+            g.quat_rotate_soa(pB_qx, pB_qy, pB_qz, pB_qw, zerop, onep, zerop),
+            g.quat_rotate_soa(pB_qx, pB_qy, pB_qz, pB_qw, zerop, zerop, onep),
+        ]
+        axes = [(a_, False) for a_ in axesA + axesB]
+        for ia in range(3):
+            for ib in range(3):
+                axes.append((g.cross3(*axesA[ia], *axesB[ib]), True))
+        axes.append(((tx_p, ty_p, tz_p), True))  # center axis (round hulls)
+
+        sat_d = jnp.full_like(tx_p, jnp.inf)
+        pn2_x, pn2_y, pn2_z = zerop, onep, zerop
+        for (ax_, ay_, az_), needs_norm in axes:
+            if needs_norm:
+                len2 = ax_ * ax_ + ay_ * ay_ + az_ * az_
+                axis_ok = len2 > 1e-12
+                inv_l = jax.lax.rsqrt(jnp.maximum(len2, 1e-12))
+                ax_, ay_, az_ = ax_ * inv_l, ay_ * inv_l, az_ * inv_l
+            supAp, supAm = _sup_pm(pA_qx, pA_qy, pA_qz, pA_qw, vA_x, vA_y, vA_z, ax_, ay_, az_)
+            supBp, supBm = _sup_pm(pB_qx, pB_qy, pB_qz, pB_qw, vB_x, vB_y, vB_z, ax_, ay_, az_)
+            tdot = tx_p * ax_ + ty_p * ay_ + tz_p * az_
+            pen_p = supBp + supAm - tdot  # A toward +a side of B
+            pen_m = supBm + supAp + tdot
+            d_ax = jnp.minimum(pen_p, pen_m)
+            if needs_norm:
+                d_ax = jnp.where(axis_ok, d_ax, jnp.inf)
+            sgn = jnp.where(pen_p <= pen_m, 1.0, -1.0)
+            upd = d_ax < sat_d
+            sat_d = jnp.where(upd, d_ax, sat_d)
+            pn2_x = jnp.where(upd, ax_ * sgn, pn2_x)
+            pn2_y = jnp.where(upd, ay_ * sgn, pn2_y)
+            pn2_z = jnp.where(upd, az_ * sgn, pn2_z)
+
+        # ---- manifold candidates along the SAT normal (n points B -> A) ----
+        lAx, lAy, lAz = g.quat_rotate_inv_soa(pA_qx, pA_qy, pA_qz, pA_qw, pn2_x, pn2_y, pn2_z)
+        lBx, lBy, lBz = g.quat_rotate_inv_soa(pB_qx, pB_qy, pB_qz, pB_qw, pn2_x, pn2_y, pn2_z)
+        tn_p = tx_p * pn2_x + ty_p * pn2_y + tz_p * pn2_z
+        # relative rotations for lateral clipping (vert of one body in the
+        # other's local box frame)
+        qBAx, qBAy, qBAz, qBAw = g.quat_mul_soa(
+            -pB_qx, -pB_qy, -pB_qz, pB_qw, pA_qx, pA_qy, pA_qz, pA_qw
+        )
+        qABx, qABy, qABz, qABw = g.quat_mul_soa(
+            -pA_qx, -pA_qy, -pA_qz, pA_qw, pB_qx, pB_qy, pB_qz, pB_qw
+        )
+        tBx, tBy, tBz = g.quat_rotate_inv_soa(pB_qx, pB_qy, pB_qz, pB_qw, tx_p, ty_p, tz_p)
+        tAx, tAy, tAz = g.quat_rotate_inv_soa(pA_qx, pA_qy, pA_qz, pA_qw, tx_p, ty_p, tz_p)
+
+        # vert dots along n (per-vert, [P, NV, B]) + support points for the
+        # edge-edge candidate
+        e5 = lambda a: a[:, None, :]  # [P, B] -> [P, 1, B]
+        dA_n = vA_x * e5(lAx) + vA_y * e5(lAy) + vA_z * e5(lAz)
+        dB_n = vB_x * e5(lBx) + vB_y * e5(lBy) + vB_z * e5(lBz)
+        supAm_n = jnp.max(-dA_n, axis=1)  # A's extent toward B (along -n)
+        supBp_n = jnp.max(dB_n, axis=1)  # B's extent toward A (along +n)
+        iA_ = jnp.argmin(dA_n, axis=1)[:, None, :]  # A's support vert along -n
+        iB_ = jnp.argmax(dB_n, axis=1)[:, None, :]
+        tk1 = lambda a, i_: jnp.take_along_axis(a, i_, axis=1)[:, 0, :]
+        eA_x, eA_y, eA_z = tk1(vA_x, iA_), tk1(vA_y, iA_), tk1(vA_z, iA_)
+        eB_x, eB_y, eB_z = tk1(vB_x, iB_), tk1(vB_y, iB_), tk1(vB_z, iB_)
+
+        LAT_M = 0.05
+        # A's verts into B: depth along n + lateral containment in B's box
+        e5q = lambda q: q[:, None, :]
+        dvA = e5(supBp_n - tn_p) - dA_n  # [P, NV, B]
+        liAx, liAy, liAz = g.quat_rotate_soa(
+            e5q(qBAx), e5q(qBAy), e5q(qBAz), e5q(qBAw), vA_x, vA_y, vA_z
+        )
+        latA = (
+            (jnp.abs(liAx + e5(tBx)) <= e5(hbx) + LAT_M)
+            & (jnp.abs(liAy + e5(tBy)) <= e5(hby) + LAT_M)
+            & (jnp.abs(liAz + e5(tBz)) <= e5(hbz) + LAT_M)
+        )
+        wAx, wAy, wAz = g.quat_rotate_soa(
+            e5q(pA_qx), e5q(pA_qy), e5q(pA_qz), e5q(pA_qw), vA_x, vA_y, vA_z
+        )
+        # B's verts into A
+        dvB = e5(supAm_n - tn_p) + dB_n
+        liBx, liBy, liBz = g.quat_rotate_soa(
+            e5q(qABx), e5q(qABy), e5q(qABz), e5q(qABw), vB_x, vB_y, vB_z
+        )
+        latB = (
+            (jnp.abs(liBx - e5(tAx)) <= e5(hax) + LAT_M)
+            & (jnp.abs(liBy - e5(tAy)) <= e5(hay) + LAT_M)
+            & (jnp.abs(liBz - e5(tAz)) <= e5(haz) + LAT_M)
+        )
+        wBx, wBy, wBz = g.quat_rotate_soa(
+            e5q(pB_qx), e5q(pB_qy), e5q(pB_qz), e5q(pB_qw), vB_x, vB_y, vB_z
+        )
+        # edge-edge / deep-support fallback: midpoint of the two support points
+        eAw = g.quat_rotate_soa(pA_qx, pA_qy, pA_qz, pA_qw, eA_x, eA_y, eA_z)
+        eBw = g.quat_rotate_soa(pB_qx, pB_qy, pB_qz, pB_qw, eB_x, eB_y, eB_z)
+
+        cat = lambda a_, b_, c_: jnp.concatenate([a_, b_, c_[:, None, :]], axis=1)
+        sat_b = sat_d[:, None, :]
+        dstack = cat(
+            jnp.minimum(dvA, sat_b), jnp.minimum(dvB, sat_b), sat_d - 1e-4
+        )  # [P, C, B]
+        ok_stack = cat(latA, latB, jnp.ones_like(pr_on))
+        pxs = cat(e5(pA_cx) + wAx, e5(pB_cx) + wBx, 0.5 * (pA_cx + eAw[0] + pB_cx + eBw[0]))
+        pys = cat(e5(pA_cy) + wAy, e5(pB_cy) + wBy, 0.5 * (pA_cy + eAw[1] + pB_cy + eBw[1]))
+        pzs = cat(e5(pA_cz) + wAz, e5(pB_cz) + wBz, 0.5 * (pA_cz + eAw[2] + pB_cz + eBw[2]))
+
+        C = dstack.shape[1]
+        live_gate = pr_on & (sat_d > -PAIR_CAND_SLACK)
+        dstack = jnp.where(ok_stack & live_gate[:, None, :], dstack, -jnp.inf)
+        selp = [[] for _ in range(4)]
+        dwork_p = dstack
+        for _k in range(K2):
+            i_ = jnp.argmax(dwork_p, axis=1)  # [P, B]
+            tkp = lambda a_: jnp.take_along_axis(a_, i_[:, None, :], axis=1)[:, 0, :]
+            for li_, a_ in enumerate((dwork_p, pxs, pys, pzs)):
+                selp[li_].append(tkp(a_))
+            dwork_p = jnp.where(
+                jnp.arange(C)[None, :, None] == i_[:, None, :], -jnp.inf, dwork_p
+            )
+        pd0 = jnp.stack(selp[0], 1)  # [P, K2, B] depth at generation
+        pp_x = jnp.stack(selp[1], 1)
+        pp_y = jnp.stack(selp[2], 1)
+        pp_z = jnp.stack(selp[3], 1)
+        pcand_live = pd0 > -PAIR_CAND_SLACK
+
+        # one-hot scatter/gather maps for the solver (dynamic per-env pair ->
+        # dyn-lane routing as MXU contractions, not batched scatters)
+        ohA = (
+            (p_d[:, None, :] == jnp.arange(D)[None, :, None]) & pr_on[:, None, :]
+        ).astype(jnp.float32)  # [P, D, B]
+        ohB = (
+            (b_dl[:, None, :] == jnp.arange(D)[None, :, None]) & b_dyn[:, None, :]
+        ).astype(jnp.float32)
+        a_mu_p = jnp.sqrt(cmap.friction[a_act] * cmap.friction[p_n])  # geometric mean
+        return (pd0, pp_x, pp_y, pp_z, pcand_live, pn2_x, pn2_y, pn2_z, ohA, ohB, a_mu_p, a_invm, b_invm, a_iIx, a_iIy, a_iIz, b_iIx, b_iIy, b_iIz, pA_qx, pA_qy, pA_qz, pA_qw, pB_qx, pB_qy, pB_qz, pB_qw, pA_cx, pA_cy, pA_cz, pB_cx, pB_cy, pB_cz, vkBx, vkBy, vkBz, b_dynf)
+
+    def _pair_zero(_):
+        zpk = jnp.zeros((P, K2, B), jnp.float32)
+        zp = jnp.zeros((P, B), jnp.float32)
+        zpd = jnp.zeros((P, D, B), jnp.float32)
+        return (
+            zpk, zpk, zpk, zpk, jnp.zeros((P, K2, B), bool), zp, zp, zp,
+            zpd, zpd,
+            zp, zp, zp, zp, zp, zp, zp, zp, zp,
+            zp, zp, zp, zp, zp, zp, zp, zp,
+            zp, zp, zp, zp, zp, zp, zp, zp, zp, zp,
+        )
+
+    (pd0, pp_x, pp_y, pp_z, pcand_live, pn2_x, pn2_y, pn2_z, ohA, ohB, a_mu_p, a_invm, b_invm, a_iIx, a_iIy, a_iIz, b_iIx, b_iIy, b_iIz, pA_qx, pA_qy, pA_qz, pA_qw, pB_qx, pB_qy, pB_qz, pB_qw, pA_cx, pA_cy, pA_cz, pB_cx, pB_cy, pB_cz, vkBx, vkBy, vkBz, b_dynf) = jax.lax.cond(pair_any, _pair_gen, _pair_zero, 0)
     if use_pallas:
         from c_game_engine_tpu.ops.body_contacts import BLK as PBLK, body_contacts_pallas
 
@@ -878,7 +908,6 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
         gen_d, c_nx, c_ny, c_nz, c_px, c_py, c_pz = (jnp.stack(x, 1) for x in sel)
     # candidate set: contacts + near-contacts (catch mid-tick impacts)
     cand_live = gen_d > -0.3
-
     def substep(carry, _):
         dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz = carry
         on = awake  # sleeping lanes: frozen pose, no gravity/pushes
@@ -1048,272 +1077,297 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
         dpy = dpy + jnp.sum(c_ny * over, 1) / t_nact
         dpz = dpz + jnp.sum(c_nz * over, 1) / t_nact
 
-        # ------------------- pair contacts (compacted SAT manifolds) -----
-        # Depths re-project by center translation along the cached normal;
-        # the full two-body solve (normal + friction impulses with angular
-        # terms on both sides) runs on the [P, K2, B] manifold, with
-        # pair->dyn-lane routing as one-hot MXU contractions.
-        ccx2, ccy2, ccz2 = g.quat_rotate_soa(dqx, dqy, dqz, dqw, dcx, dcy, dcz)
-        ccx2, ccy2, ccz2 = ccx2 + dpx, ccy2 + dpy, ccz2 + dpz
-        gAh = lambda a: jnp.einsum("db,pdb->pb", a, ohA)
-        gBh = lambda a: jnp.einsum("db,pdb->pb", a, ohB)
-        cA_tx, cA_ty, cA_tz = gAh(ccx2), gAh(ccy2), gAh(ccz2)
-        nb_f = 1.0 - b_dynf
-        cB_tx = gBh(ccx2) + pB_cx * nb_f
-        cB_ty = gBh(ccy2) + pB_cy * nb_f
-        cB_tz = gBh(ccz2) + pB_cz * nb_f
-        shift_p = (
-            (cA_tx - pA_cx - (cB_tx - pB_cx)) * pn2_x
-            + (cA_ty - pA_cy - (cB_ty - pB_cy)) * pn2_y
-            + (cA_tz - pA_cz - (cB_tz - pB_cz)) * pn2_z
-        )
-        pd_k = pd0 - shift_p[:, None, :]
-        pact = pcand_live & (pd_k > 0.0)
-        e4 = lambda a: a[:, None, :]  # [P, B] -> [P, 1, B]
-        rAx = pp_x - e4(cA_tx)
-        rAy = pp_y - e4(cA_ty)
-        rAz = pp_z - e4(cA_tz)
-        rBx = pp_x - e4(cB_tx)
-        rBy = pp_y - e4(cB_ty)
-        rBz = pp_z - e4(cB_tz)
-        nkx, nky, nkz = e4(pn2_x), e4(pn2_y), e4(pn2_z)
-        # normal effective mass (constant over iterations)
-        rxnAx, rxnAy, rxnAz = g.cross3(rAx, rAy, rAz, nkx, nky, nkz)
-        iAx, iAy, iAz = rot_inv_apply(
-            e4(pA_qx), e4(pA_qy), e4(pA_qz), e4(pA_qw),
-            e4(a_iIx), e4(a_iIy), e4(a_iIz), rxnAx, rxnAy, rxnAz,
-        )
-        cAx_, cAy_, cAz_ = g.cross3(iAx, iAy, iAz, rAx, rAy, rAz)
-        kA_n = g.dot3(cAx_, cAy_, cAz_, nkx, nky, nkz)
-        rxnBx, rxnBy, rxnBz = g.cross3(rBx, rBy, rBz, nkx, nky, nkz)
-        iBx, iBy, iBz = rot_inv_apply(
-            e4(pB_qx), e4(pB_qy), e4(pB_qz), e4(pB_qw),
-            e4(b_iIx), e4(b_iIy), e4(b_iIz), rxnBx, rxnBy, rxnBz,
-        )
-        cBx_, cBy_, cBz_ = g.cross3(iBx, iBy, iBz, rBx, rBy, rBz)
-        kB_n = g.dot3(cBx_, cBy_, cBz_, nkx, nky, nkz)
-        k_pair = e4(a_invm + b_invm) + kA_n + kB_n
+        def loop_tri_only(c):
+            # no live pair candidates this tick: pure fused triangle solve
+            if _unroll_loops():
+                for _i in range(SOLVER_ITERS):
+                    c = tri_iter(_i, c)
+            else:
+                c = jax.lax.fori_loop(0, SOLVER_ITERS, tri_iter, c)
+            zz = jnp.zeros_like(dpx)
+            return c + (zz, zz, zz)
 
-        n_act = jnp.maximum(jnp.sum(pact, axis=1, keepdims=True).astype(jnp.float32), 1.0)
-        actf = pact.astype(jnp.float32)
-        # manifold centroid: the aggregate push of a symmetric K-point face
-        # manifold is CENTRAL (per-corner angular terms cancel), so solving
-        # per-corner with k = invM + angular under-applies ~4x (springy
-        # stacks that eventually explode). A centroid pre-pass takes the
-        # bulk of the normal velocity with the correct central effective
-        # mass; the per-point Gauss-Seidel pass after it only handles the
-        # small rocking/torque residuals (so its lever-arm asymmetry stays
-        # harmless). This mirrors Jolt's many-iteration sequential solver
-        # at a fixed, TPU-friendly op count.
-        anyact = jnp.any(pact, axis=1)  # [P, B]
-        cen_x = jnp.sum(pp_x * actf, 1) / n_act[:, 0, :]
-        cen_y = jnp.sum(pp_y * actf, 1) / n_act[:, 0, :]
-        cen_z = jnp.sum(pp_z * actf, 1) / n_act[:, 0, :]
+        def loop_with_pairs(c):
+            # ------------------- pair contacts (compacted SAT manifolds) -----
+            # Depths re-project by center translation along the cached normal;
+            # the full two-body solve (normal + friction impulses with angular
+            # terms on both sides) runs on the [P, K2, B] manifold, with
+            # pair->dyn-lane routing as one-hot MXU contractions.
+            ccx2, ccy2, ccz2 = g.quat_rotate_soa(dqx, dqy, dqz, dqw, dcx, dcy, dcz)
+            ccx2, ccy2, ccz2 = ccx2 + dpx, ccy2 + dpy, ccz2 + dpz
+            gAh = lambda a: jnp.einsum("db,pdb->pb", a, ohA)
+            gBh = lambda a: jnp.einsum("db,pdb->pb", a, ohB)
+            cA_tx, cA_ty, cA_tz = gAh(ccx2), gAh(ccy2), gAh(ccz2)
+            nb_f = 1.0 - b_dynf
+            cB_tx = gBh(ccx2) + pB_cx * nb_f
+            cB_ty = gBh(ccy2) + pB_cy * nb_f
+            cB_tz = gBh(ccz2) + pB_cz * nb_f
+            shift_p = (
+                (cA_tx - pA_cx - (cB_tx - pB_cx)) * pn2_x
+                + (cA_ty - pA_cy - (cB_ty - pB_cy)) * pn2_y
+                + (cA_tz - pA_cz - (cB_tz - pB_cz)) * pn2_z
+            )
+            pd_k = pd0 - shift_p[:, None, :]
+            pact = pcand_live & (pd_k > 0.0)
+            e4 = lambda a: a[:, None, :]  # [P, B] -> [P, 1, B]
+            rAx = pp_x - e4(cA_tx)
+            rAy = pp_y - e4(cA_ty)
+            rAz = pp_z - e4(cA_tz)
+            rBx = pp_x - e4(cB_tx)
+            rBy = pp_y - e4(cB_ty)
+            rBz = pp_z - e4(cB_tz)
+            nkx, nky, nkz = e4(pn2_x), e4(pn2_y), e4(pn2_z)
+            # normal effective mass (constant over iterations)
+            rxnAx, rxnAy, rxnAz = g.cross3(rAx, rAy, rAz, nkx, nky, nkz)
+            iAx, iAy, iAz = rot_inv_apply(
+                e4(pA_qx), e4(pA_qy), e4(pA_qz), e4(pA_qw),
+                e4(a_iIx), e4(a_iIy), e4(a_iIz), rxnAx, rxnAy, rxnAz,
+            )
+            cAx_, cAy_, cAz_ = g.cross3(iAx, iAy, iAz, rAx, rAy, rAz)
+            kA_n = g.dot3(cAx_, cAy_, cAz_, nkx, nky, nkz)
+            rxnBx, rxnBy, rxnBz = g.cross3(rBx, rBy, rBz, nkx, nky, nkz)
+            iBx, iBy, iBz = rot_inv_apply(
+                e4(pB_qx), e4(pB_qy), e4(pB_qz), e4(pB_qw),
+                e4(b_iIx), e4(b_iIy), e4(b_iIz), rxnBx, rxnBy, rxnBz,
+            )
+            cBx_, cBy_, cBz_ = g.cross3(iBx, iBy, iBz, rBx, rBy, rBz)
+            kB_n = g.dot3(cBx_, cBy_, cBz_, nkx, nky, nkz)
+            k_pair = e4(a_invm + b_invm) + kA_n + kB_n
 
-        def pair_iter(_, carry):
-            dvx, dvy, dvz, dwx, dwy, dwz = carry
-            vAx0, vAy0, vAz0 = gAh(dvx), gAh(dvy), gAh(dvz)
-            wAx0, wAy0, wAz0 = gAh(dwx), gAh(dwy), gAh(dwz)
-            vBx0 = gBh(dvx) + vkBx
-            vBy0 = gBh(dvy) + vkBy
-            vBz0 = gBh(dvz) + vkBz
-            wBx0, wBy0, wBz0 = gBh(dwx), gBh(dwy), gBh(dwz)
-            st_ = [vAx0, vAy0, vAz0, wAx0, wAy0, wAz0,
-                   vBx0, vBy0, vBz0, wBx0, wBy0, wBz0]
+            n_act = jnp.maximum(jnp.sum(pact, axis=1, keepdims=True).astype(jnp.float32), 1.0)
+            actf = pact.astype(jnp.float32)
+            # manifold centroid: the aggregate push of a symmetric K-point face
+            # manifold is CENTRAL (per-corner angular terms cancel), so solving
+            # per-corner with k = invM + angular under-applies ~4x (springy
+            # stacks that eventually explode). A centroid pre-pass takes the
+            # bulk of the normal velocity with the correct central effective
+            # mass; the per-point Gauss-Seidel pass after it only handles the
+            # small rocking/torque residuals (so its lever-arm asymmetry stays
+            # harmless). This mirrors Jolt's many-iteration sequential solver
+            # at a fixed, TPU-friendly op count.
+            anyact = jnp.any(pact, axis=1)  # [P, B]
+            cen_x = jnp.sum(pp_x * actf, 1) / n_act[:, 0, :]
+            cen_y = jnp.sum(pp_y * actf, 1) / n_act[:, 0, :]
+            cen_z = jnp.sum(pp_z * actf, 1) / n_act[:, 0, :]
 
-            def solve_point(st_, rax, ray, raz, rbx, rby, rbz, act_k, with_friction=True):
-                vAx, vAy, vAz, wAx, wAy, wAz, vBx, vBy, vBz, wBx, wBy, wBz = st_
+            def pair_iter(_, carry):
+                dvx, dvy, dvz, dwx, dwy, dwz = carry
+                vAx0, vAy0, vAz0 = gAh(dvx), gAh(dvy), gAh(dvz)
+                wAx0, wAy0, wAz0 = gAh(dwx), gAh(dwy), gAh(dwz)
+                vBx0 = gBh(dvx) + vkBx
+                vBy0 = gBh(dvy) + vkBy
+                vBz0 = gBh(dvz) + vkBz
+                wBx0, wBy0, wBz0 = gBh(dwx), gBh(dwy), gBh(dwz)
+                st_ = [vAx0, vAy0, vAz0, wAx0, wAy0, wAz0,
+                       vBx0, vBy0, vBz0, wBx0, wBy0, wBz0]
 
-                def rel_at():
-                    relx = vAx + wAy * raz - wAz * ray - (vBx + wBy * rbz - wBz * rby)
-                    rely = vAy + wAz * rax - wAx * raz - (vBy + wBz * rbx - wBx * rbz)
-                    relz = vAz + wAx * ray - wAy * rax - (vBz + wBx * rby - wBy * rbx)
-                    return relx, rely, relz
-
-                def keff(dx_, dy_, dz_):
-                    rxk, ryk, rzk = g.cross3(rax, ray, raz, dx_, dy_, dz_)
-                    fx_, fy_, fz_ = rot_inv_apply(
-                        pA_qx, pA_qy, pA_qz, pA_qw, a_iIx, a_iIy, a_iIz, rxk, ryk, rzk
-                    )
-                    fx_, fy_, fz_ = g.cross3(fx_, fy_, fz_, rax, ray, raz)
-                    k_ = a_invm + b_invm + fx_ * dx_ + fy_ * dy_ + fz_ * dz_
-                    rxk, ryk, rzk = g.cross3(rbx, rby, rbz, dx_, dy_, dz_)
-                    fx_, fy_, fz_ = rot_inv_apply(
-                        pB_qx, pB_qy, pB_qz, pB_qw, b_iIx, b_iIy, b_iIz, rxk, ryk, rzk
-                    )
-                    fx_, fy_, fz_ = g.cross3(fx_, fy_, fz_, rbx, rby, rbz)
-                    return k_ + fx_ * dx_ + fy_ * dy_ + fz_ * dz_
-
-                def apply_(st_, ix_, iy_, iz_):
+                def solve_point(st_, rax, ray, raz, rbx, rby, rbz, act_k, with_friction=True):
                     vAx, vAy, vAz, wAx, wAy, wAz, vBx, vBy, vBz, wBx, wBy, wBz = st_
-                    vAx, vAy, vAz = vAx + ix_ * a_invm, vAy + iy_ * a_invm, vAz + iz_ * a_invm
-                    tqx, tqy, tqz = g.cross3(rax, ray, raz, ix_, iy_, iz_)
-                    ax_, ay_, az_ = rot_inv_apply(
-                        pA_qx, pA_qy, pA_qz, pA_qw, a_iIx, a_iIy, a_iIz, tqx, tqy, tqz
-                    )
-                    wAx, wAy, wAz = wAx + ax_, wAy + ay_, wAz + az_
-                    vBx, vBy, vBz = vBx - ix_ * b_invm, vBy - iy_ * b_invm, vBz - iz_ * b_invm
-                    tqx, tqy, tqz = g.cross3(rbx, rby, rbz, -ix_, -iy_, -iz_)
-                    bx_, by_, bz_ = rot_inv_apply(
-                        pB_qx, pB_qy, pB_qz, pB_qw, b_iIx, b_iIy, b_iIz, tqx, tqy, tqz
-                    )
-                    return [vAx, vAy, vAz, wAx, wAy, wAz,
-                            vBx, vBy, vBz, wBx + bx_, wBy + by_, wBz + bz_]
 
-                relx, rely, relz = rel_at()
-                vn = relx * pn2_x + rely * pn2_y + relz * pn2_z
-                k_n = keff(pn2_x, pn2_y, pn2_z)
-                jn = jnp.where(act_k & (vn < 0), -vn / jnp.maximum(k_n, 1e-9), 0.0) * RELAX
-                st_ = apply_(st_, pn2_x * jn, pn2_y * jn, pn2_z * jn)
-                if with_friction:
-                    vAx, vAy, vAz, wAx, wAy, wAz, vBx, vBy, vBz, wBx, wBy, wBz = st_
+                    def rel_at():
+                        relx = vAx + wAy * raz - wAz * ray - (vBx + wBy * rbz - wBz * rby)
+                        rely = vAy + wAz * rax - wAx * raz - (vBy + wBz * rbx - wBx * rbz)
+                        relz = vAz + wAx * ray - wAy * rax - (vBz + wBx * rby - wBy * rbx)
+                        return relx, rely, relz
+
+                    def keff(dx_, dy_, dz_):
+                        rxk, ryk, rzk = g.cross3(rax, ray, raz, dx_, dy_, dz_)
+                        fx_, fy_, fz_ = rot_inv_apply(
+                            pA_qx, pA_qy, pA_qz, pA_qw, a_iIx, a_iIy, a_iIz, rxk, ryk, rzk
+                        )
+                        fx_, fy_, fz_ = g.cross3(fx_, fy_, fz_, rax, ray, raz)
+                        k_ = a_invm + b_invm + fx_ * dx_ + fy_ * dy_ + fz_ * dz_
+                        rxk, ryk, rzk = g.cross3(rbx, rby, rbz, dx_, dy_, dz_)
+                        fx_, fy_, fz_ = rot_inv_apply(
+                            pB_qx, pB_qy, pB_qz, pB_qw, b_iIx, b_iIy, b_iIz, rxk, ryk, rzk
+                        )
+                        fx_, fy_, fz_ = g.cross3(fx_, fy_, fz_, rbx, rby, rbz)
+                        return k_ + fx_ * dx_ + fy_ * dy_ + fz_ * dz_
+
+                    def apply_(st_, ix_, iy_, iz_):
+                        vAx, vAy, vAz, wAx, wAy, wAz, vBx, vBy, vBz, wBx, wBy, wBz = st_
+                        vAx, vAy, vAz = vAx + ix_ * a_invm, vAy + iy_ * a_invm, vAz + iz_ * a_invm
+                        tqx, tqy, tqz = g.cross3(rax, ray, raz, ix_, iy_, iz_)
+                        ax_, ay_, az_ = rot_inv_apply(
+                            pA_qx, pA_qy, pA_qz, pA_qw, a_iIx, a_iIy, a_iIz, tqx, tqy, tqz
+                        )
+                        wAx, wAy, wAz = wAx + ax_, wAy + ay_, wAz + az_
+                        vBx, vBy, vBz = vBx - ix_ * b_invm, vBy - iy_ * b_invm, vBz - iz_ * b_invm
+                        tqx, tqy, tqz = g.cross3(rbx, rby, rbz, -ix_, -iy_, -iz_)
+                        bx_, by_, bz_ = rot_inv_apply(
+                            pB_qx, pB_qy, pB_qz, pB_qw, b_iIx, b_iIy, b_iIz, tqx, tqy, tqz
+                        )
+                        return [vAx, vAy, vAz, wAx, wAy, wAz,
+                                vBx, vBy, vBz, wBx + bx_, wBy + by_, wBz + bz_]
+
                     relx, rely, relz = rel_at()
-                    vn2 = relx * pn2_x + rely * pn2_y + relz * pn2_z
-                    vtx = relx - pn2_x * vn2
-                    vty = rely - pn2_y * vn2
-                    vtz = relz - pn2_z * vn2
-                    tdx, tdy, tdz, vt_mag = g.normalize3(vtx, vty, vtz)
-                    k_t = keff(tdx, tdy, tdz)
-                    jt = jnp.where(
-                        act_k,
-                        jnp.minimum(
-                            vt_mag / jnp.maximum(k_t, 1e-9),
-                            a_mu_p * jnp.maximum(jn, 0.0),
-                        ),
-                        0.0,
-                    ) * RELAX
-                    st_ = apply_(st_, -tdx * jt, -tdy * jt, -tdz * jt)
-                return st_
+                    vn = relx * pn2_x + rely * pn2_y + relz * pn2_z
+                    k_n = keff(pn2_x, pn2_y, pn2_z)
+                    jn = jnp.where(act_k & (vn < 0), -vn / jnp.maximum(k_n, 1e-9), 0.0) * RELAX
+                    st_ = apply_(st_, pn2_x * jn, pn2_y * jn, pn2_z * jn)
+                    if with_friction:
+                        vAx, vAy, vAz, wAx, wAy, wAz, vBx, vBy, vBz, wBx, wBy, wBz = st_
+                        relx, rely, relz = rel_at()
+                        vn2 = relx * pn2_x + rely * pn2_y + relz * pn2_z
+                        vtx = relx - pn2_x * vn2
+                        vty = rely - pn2_y * vn2
+                        vtz = relz - pn2_z * vn2
+                        tdx, tdy, tdz, vt_mag = g.normalize3(vtx, vty, vtz)
+                        k_t = keff(tdx, tdy, tdz)
+                        jt = jnp.where(
+                            act_k,
+                            jnp.minimum(
+                                vt_mag / jnp.maximum(k_t, 1e-9),
+                                a_mu_p * jnp.maximum(jn, 0.0),
+                            ),
+                            0.0,
+                        ) * RELAX
+                        st_ = apply_(st_, -tdx * jt, -tdy * jt, -tdz * jt)
+                    return st_
 
-            # centroid pre-pass (bulk of the normal impulse, central mass)
-            st_ = solve_point(
-                st_,
-                cen_x - cA_tx, cen_y - cA_ty, cen_z - cA_tz,
-                cen_x - cB_tx, cen_y - cB_ty, cen_z - cB_tz,
-                anyact,
-            )
-            # per-point JACOBI from the post-centroid state (rocking /
-            # torque residuals). All points see the same velocities, so a
-            # symmetric manifold at rest produces exactly equal impulses
-            # and ZERO net torque — a sequential order would bias a fixed
-            # torque direction every tick and steadily spin stacks up. The
-            # antisymmetric (rocking) components have opposite signs and
-            # don't compound; the symmetric residual is small because the
-            # centroid pass already took the mean normal velocity.
-            vAx, vAy, vAz, wAx, wAy, wAz, vBx, vBy, vBz, wBx, wBy, wBz = st_
-            relx = (
-                e4(vAx) + e4(wAy) * rAz - e4(wAz) * rAy
-                - (e4(vBx) + e4(wBy) * rBz - e4(wBz) * rBy)
-            )
-            rely = (
-                e4(vAy) + e4(wAz) * rAx - e4(wAx) * rAz
-                - (e4(vBy) + e4(wBz) * rBx - e4(wBx) * rBz)
-            )
-            relz = (
-                e4(vAz) + e4(wAx) * rAy - e4(wAy) * rAx
-                - (e4(vBz) + e4(wBx) * rBy - e4(wBy) * rBx)
-            )
-            vn = relx * nkx + rely * nky + relz * nkz
-            jn = jnp.where(pact & (vn < 0), -vn / jnp.maximum(k_pair, 1e-9), 0.0) * RELAX
-            ix_, iy_, iz_ = nkx * jn, nky * jn, nkz * jn
-            # friction per point against the pre-impulse tangential motion
-            vtx = relx - nkx * vn
-            vty = rely - nky * vn
-            vtz = relz - nkz * vn
-            tdx, tdy, tdz, vt_mag = g.normalize3(vtx, vty, vtz)
-            rxk, ryk, rzk = g.cross3(rAx, rAy, rAz, tdx, tdy, tdz)
-            fx_, fy_, fz_ = rot_inv_apply(
-                e4(pA_qx), e4(pA_qy), e4(pA_qz), e4(pA_qw),
-                e4(a_iIx), e4(a_iIy), e4(a_iIz), rxk, ryk, rzk,
-            )
-            fx_, fy_, fz_ = g.cross3(fx_, fy_, fz_, rAx, rAy, rAz)
-            k_t = e4(a_invm + b_invm) + fx_ * tdx + fy_ * tdy + fz_ * tdz
-            rxk, ryk, rzk = g.cross3(rBx, rBy, rBz, tdx, tdy, tdz)
-            fx_, fy_, fz_ = rot_inv_apply(
-                e4(pB_qx), e4(pB_qy), e4(pB_qz), e4(pB_qw),
-                e4(b_iIx), e4(b_iIy), e4(b_iIz), rxk, ryk, rzk,
-            )
-            fx_, fy_, fz_ = g.cross3(fx_, fy_, fz_, rBx, rBy, rBz)
-            k_t = k_t + fx_ * tdx + fy_ * tdy + fz_ * tdz
-            jt = jnp.where(
-                pact,
-                jnp.minimum(vt_mag / jnp.maximum(k_t, 1e-9), e4(a_mu_p) * jnp.maximum(jn, 0.0)),
-                0.0,
-            ) * RELAX
-            ix_, iy_, iz_ = ix_ - tdx * jt, iy_ - tdy * jt, iz_ - tdz * jt
-            # apply the summed point impulses to the pair-local state
-            sx_, sy_, sz_ = jnp.sum(ix_, 1), jnp.sum(iy_, 1), jnp.sum(iz_, 1)
-            vAx, vAy, vAz = vAx + sx_ * a_invm, vAy + sy_ * a_invm, vAz + sz_ * a_invm
-            tqx, tqy, tqz = g.cross3(rAx, rAy, rAz, ix_, iy_, iz_)
-            ax_, ay_, az_ = rot_inv_apply(
-                e4(pA_qx), e4(pA_qy), e4(pA_qz), e4(pA_qw),
-                e4(a_iIx), e4(a_iIy), e4(a_iIz), tqx, tqy, tqz,
-            )
-            wAx = wAx + jnp.sum(ax_, 1)
-            wAy = wAy + jnp.sum(ay_, 1)
-            wAz = wAz + jnp.sum(az_, 1)
-            vBx, vBy, vBz = vBx - sx_ * b_invm, vBy - sy_ * b_invm, vBz - sz_ * b_invm
-            tqx, tqy, tqz = g.cross3(rBx, rBy, rBz, -ix_, -iy_, -iz_)
-            bx_, by_, bz_ = rot_inv_apply(
-                e4(pB_qx), e4(pB_qy), e4(pB_qz), e4(pB_qw),
-                e4(b_iIx), e4(b_iIy), e4(b_iIz), tqx, tqy, tqz,
-            )
-            wBx = wBx + jnp.sum(bx_, 1)
-            wBy = wBy + jnp.sum(by_, 1)
-            wBz = wBz + jnp.sum(bz_, 1)
-            st_ = [vAx, vAy, vAz, wAx, wAy, wAz, vBx, vBy, vBz, wBx, wBy, wBz]
+                # centroid pre-pass (bulk of the normal impulse, central mass)
+                st_ = solve_point(
+                    st_,
+                    cen_x - cA_tx, cen_y - cA_ty, cen_z - cA_tz,
+                    cen_x - cB_tx, cen_y - cB_ty, cen_z - cB_tz,
+                    anyact,
+                )
+                # per-point JACOBI from the post-centroid state (rocking /
+                # torque residuals). All points see the same velocities, so a
+                # symmetric manifold at rest produces exactly equal impulses
+                # and ZERO net torque — a sequential order would bias a fixed
+                # torque direction every tick and steadily spin stacks up. The
+                # antisymmetric (rocking) components have opposite signs and
+                # don't compound; the symmetric residual is small because the
+                # centroid pass already took the mean normal velocity.
+                vAx, vAy, vAz, wAx, wAy, wAz, vBx, vBy, vBz, wBx, wBy, wBz = st_
+                relx = (
+                    e4(vAx) + e4(wAy) * rAz - e4(wAz) * rAy
+                    - (e4(vBx) + e4(wBy) * rBz - e4(wBz) * rBy)
+                )
+                rely = (
+                    e4(vAy) + e4(wAz) * rAx - e4(wAx) * rAz
+                    - (e4(vBy) + e4(wBz) * rBx - e4(wBx) * rBz)
+                )
+                relz = (
+                    e4(vAz) + e4(wAx) * rAy - e4(wAy) * rAx
+                    - (e4(vBz) + e4(wBx) * rBy - e4(wBy) * rBx)
+                )
+                vn = relx * nkx + rely * nky + relz * nkz
+                jn = jnp.where(pact & (vn < 0), -vn / jnp.maximum(k_pair, 1e-9), 0.0) * RELAX
+                ix_, iy_, iz_ = nkx * jn, nky * jn, nkz * jn
+                # friction per point against the pre-impulse tangential motion
+                vtx = relx - nkx * vn
+                vty = rely - nky * vn
+                vtz = relz - nkz * vn
+                tdx, tdy, tdz, vt_mag = g.normalize3(vtx, vty, vtz)
+                rxk, ryk, rzk = g.cross3(rAx, rAy, rAz, tdx, tdy, tdz)
+                fx_, fy_, fz_ = rot_inv_apply(
+                    e4(pA_qx), e4(pA_qy), e4(pA_qz), e4(pA_qw),
+                    e4(a_iIx), e4(a_iIy), e4(a_iIz), rxk, ryk, rzk,
+                )
+                fx_, fy_, fz_ = g.cross3(fx_, fy_, fz_, rAx, rAy, rAz)
+                k_t = e4(a_invm + b_invm) + fx_ * tdx + fy_ * tdy + fz_ * tdz
+                rxk, ryk, rzk = g.cross3(rBx, rBy, rBz, tdx, tdy, tdz)
+                fx_, fy_, fz_ = rot_inv_apply(
+                    e4(pB_qx), e4(pB_qy), e4(pB_qz), e4(pB_qw),
+                    e4(b_iIx), e4(b_iIy), e4(b_iIz), rxk, ryk, rzk,
+                )
+                fx_, fy_, fz_ = g.cross3(fx_, fy_, fz_, rBx, rBy, rBz)
+                k_t = k_t + fx_ * tdx + fy_ * tdy + fz_ * tdz
+                jt = jnp.where(
+                    pact,
+                    jnp.minimum(vt_mag / jnp.maximum(k_t, 1e-9), e4(a_mu_p) * jnp.maximum(jn, 0.0)),
+                    0.0,
+                ) * RELAX
+                ix_, iy_, iz_ = ix_ - tdx * jt, iy_ - tdy * jt, iz_ - tdz * jt
+                # apply the summed point impulses to the pair-local state
+                sx_, sy_, sz_ = jnp.sum(ix_, 1), jnp.sum(iy_, 1), jnp.sum(iz_, 1)
+                vAx, vAy, vAz = vAx + sx_ * a_invm, vAy + sy_ * a_invm, vAz + sz_ * a_invm
+                tqx, tqy, tqz = g.cross3(rAx, rAy, rAz, ix_, iy_, iz_)
+                ax_, ay_, az_ = rot_inv_apply(
+                    e4(pA_qx), e4(pA_qy), e4(pA_qz), e4(pA_qw),
+                    e4(a_iIx), e4(a_iIy), e4(a_iIz), tqx, tqy, tqz,
+                )
+                wAx = wAx + jnp.sum(ax_, 1)
+                wAy = wAy + jnp.sum(ay_, 1)
+                wAz = wAz + jnp.sum(az_, 1)
+                vBx, vBy, vBz = vBx - sx_ * b_invm, vBy - sy_ * b_invm, vBz - sz_ * b_invm
+                tqx, tqy, tqz = g.cross3(rBx, rBy, rBz, -ix_, -iy_, -iz_)
+                bx_, by_, bz_ = rot_inv_apply(
+                    e4(pB_qx), e4(pB_qy), e4(pB_qz), e4(pB_qw),
+                    e4(b_iIx), e4(b_iIy), e4(b_iIz), tqx, tqy, tqz,
+                )
+                wBx = wBx + jnp.sum(bx_, 1)
+                wBy = wBy + jnp.sum(by_, 1)
+                wBz = wBz + jnp.sum(bz_, 1)
+                st_ = [vAx, vAy, vAz, wAx, wAy, wAz, vBx, vBy, vBz, wBx, wBy, wBz]
 
-            vAx, vAy, vAz, wAx, wAy, wAz, vBx, vBy, vBz, wBx, wBy, wBz = st_
-            dvx = dvx + jnp.einsum("pb,pdb->db", vAx - vAx0, ohA)
-            dvy = dvy + jnp.einsum("pb,pdb->db", vAy - vAy0, ohA)
-            dvz = dvz + jnp.einsum("pb,pdb->db", vAz - vAz0, ohA)
-            dwx = dwx + jnp.einsum("pb,pdb->db", wAx - wAx0, ohA)
-            dwy = dwy + jnp.einsum("pb,pdb->db", wAy - wAy0, ohA)
-            dwz = dwz + jnp.einsum("pb,pdb->db", wAz - wAz0, ohA)
-            dvx = dvx + jnp.einsum("pb,pdb->db", vBx - vBx0, ohB)
-            dvy = dvy + jnp.einsum("pb,pdb->db", vBy - vBy0, ohB)
-            dvz = dvz + jnp.einsum("pb,pdb->db", vBz - vBz0, ohB)
-            dwx = dwx + jnp.einsum("pb,pdb->db", wBx - wBx0, ohB)
-            dwy = dwy + jnp.einsum("pb,pdb->db", wBy - wBy0, ohB)
-            dwz = dwz + jnp.einsum("pb,pdb->db", wBz - wBz0, ohB)
-            return dvx, dvy, dvz, dwx, dwy, dwz
+                vAx, vAy, vAz, wAx, wAy, wAz, vBx, vBy, vBz, wBx, wBy, wBz = st_
+                dvx = dvx + jnp.einsum("pb,pdb->db", vAx - vAx0, ohA)
+                dvy = dvy + jnp.einsum("pb,pdb->db", vAy - vAy0, ohA)
+                dvz = dvz + jnp.einsum("pb,pdb->db", vAz - vAz0, ohA)
+                dwx = dwx + jnp.einsum("pb,pdb->db", wAx - wAx0, ohA)
+                dwy = dwy + jnp.einsum("pb,pdb->db", wAy - wAy0, ohA)
+                dwz = dwz + jnp.einsum("pb,pdb->db", wAz - wAz0, ohA)
+                dvx = dvx + jnp.einsum("pb,pdb->db", vBx - vBx0, ohB)
+                dvy = dvy + jnp.einsum("pb,pdb->db", vBy - vBy0, ohB)
+                dvz = dvz + jnp.einsum("pb,pdb->db", vBz - vBz0, ohB)
+                dwx = dwx + jnp.einsum("pb,pdb->db", wBx - wBx0, ohB)
+                dwy = dwy + jnp.einsum("pb,pdb->db", wBy - wBy0, ohB)
+                dwz = dwz + jnp.einsum("pb,pdb->db", wBz - wBz0, ohB)
+                return dvx, dvy, dvz, dwx, dwy, dwz
 
-        def all_iter(i_, vo):
-            vo = tri_iter(i_, vo)
-            if pairs_enabled:
-                vo = pair_iter(i_, vo)
-            return vo
+            def all_iter(i_, vo):
+                vo = tri_iter(i_, vo)
+                if pairs_enabled:
+                    vo = pair_iter(i_, vo)
+                return vo
 
-        # On TPU: unrolled (not fori_loop) — iterations are pure elementwise
-        # chains, so XLA fuses across them instead of paying per-iteration
-        # launches. On CPU (the test backend) a rolled loop keeps the
-        # module small enough to compile in seconds.
-        _c = (dvx, dvy, dvz, dwx, dwy, dwz)
-        if _unroll_loops():
-            for _i in range(SOLVER_ITERS):
-                _c = all_iter(_i, _c)
+            # On TPU: unrolled (not fori_loop) — iterations are pure elementwise
+            # chains, so XLA fuses across them instead of paying per-iteration
+            # launches. On CPU (the test backend) a rolled loop keeps the
+            # module small enough to compile in seconds.
+            _c = c
+            if _unroll_loops():
+                for _i in range(SOLVER_ITERS):
+                    _c = all_iter(_i, _c)
+            else:
+                _c = jax.lax.fori_loop(0, SOLVER_ITERS, all_iter, _c)
+            c = _c
+            dvx, dvy, dvz, dwx, dwy, dwz = c
+            # positional correction, split by inverse mass. Averaged over the
+            # active manifold points (a 4-point face manifold is ONE contact
+            # patch — summing would over-push 4x and bounce the stack).
+            over_p = jnp.where(
+                pact & pairs_enabled, jnp.maximum(pd_k - PENETRATION_SLOP, 0.0) * BAUMGARTE, 0.0
+            )
+            wsum_p = jnp.maximum(a_invm + b_invm, 1e-9)
+            pux = jnp.sum(nkx * over_p, 1) / n_act[:, 0, :]  # [P, B]
+            puy = jnp.sum(nky * over_p, 1) / n_act[:, 0, :]
+            puz = jnp.sum(nkz * over_p, 1) / n_act[:, 0, :]
+            shareA = a_invm / wsum_p
+            shareB = b_invm / wsum_p
+            pushdx = jnp.einsum("pb,pdb->db", pux * shareA, ohA) - jnp.einsum(
+                "pb,pdb->db", pux * shareB, ohB
+            )
+            pushdy = jnp.einsum("pb,pdb->db", puy * shareA, ohA) - jnp.einsum(
+                "pb,pdb->db", puy * shareB, ohB
+            )
+            pushdz = jnp.einsum("pb,pdb->db", puz * shareA, ohA) - jnp.einsum(
+                "pb,pdb->db", puz * shareB, ohB
+            )
+            return c + (pushdx, pushdy, pushdz)
+
+        _c0 = (dvx, dvy, dvz, dwx, dwy, dwz)
+        if pairs_enabled:
+            outs = jax.lax.cond(pair_any, loop_with_pairs, loop_tri_only, _c0)
         else:
-            _c = jax.lax.fori_loop(0, SOLVER_ITERS, all_iter, _c)
-        dvx, dvy, dvz, dwx, dwy, dwz = _c
-
-        # positional correction, split by inverse mass. Averaged over the
-        # active manifold points (a 4-point face manifold is ONE contact
-        # patch — summing would over-push 4x and bounce the stack).
-        over_p = jnp.where(
-            pact & pairs_enabled, jnp.maximum(pd_k - PENETRATION_SLOP, 0.0) * BAUMGARTE, 0.0
-        )
-        wsum_p = jnp.maximum(a_invm + b_invm, 1e-9)
-        pux = jnp.sum(nkx * over_p, 1) / n_act[:, 0, :]  # [P, B]
-        puy = jnp.sum(nky * over_p, 1) / n_act[:, 0, :]
-        puz = jnp.sum(nkz * over_p, 1) / n_act[:, 0, :]
-        shareA = a_invm / wsum_p
-        shareB = b_invm / wsum_p
-        dpx = jnp.where(on, dpx + jnp.einsum("pb,pdb->db", pux * shareA, ohA), dpx)
-        dpy = jnp.where(on, dpy + jnp.einsum("pb,pdb->db", puy * shareA, ohA), dpy)
-        dpz = jnp.where(on, dpz + jnp.einsum("pb,pdb->db", puz * shareA, ohA), dpz)
-        dpx = jnp.where(on, dpx - jnp.einsum("pb,pdb->db", pux * shareB, ohB), dpx)
-        dpy = jnp.where(on, dpy - jnp.einsum("pb,pdb->db", puy * shareB, ohB), dpy)
-        dpz = jnp.where(on, dpz - jnp.einsum("pb,pdb->db", puz * shareB, ohB), dpz)
+            outs = loop_tri_only(_c0)
+        dvx, dvy, dvz, dwx, dwy, dwz, pushdx, pushdy, pushdz = outs
+        dpx = jnp.where(on, dpx + pushdx, dpx)
+        dpy = jnp.where(on, dpy + pushdy, dpy)
+        dpz = jnp.where(on, dpz + pushdz, dpz)
 
         # -------------------------------------------------- vs player [D, B]
         ccx3, ccy3, ccz3 = g.quat_rotate_soa(dqx, dqy, dqz, dqw, dcx, dcy, dcz)
@@ -1358,12 +1412,9 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
         d_on_t & slow, jnp.minimum(sleep_d + 1, SLEEP_AFTER), 0
     )  # [D, B]
 
-    # write dynamic lanes back ([D, B] -> [B, N, .]) via a static one-hot
-    # contraction over D (dyn_slots is compile-time; batched scatters
+    # write dynamic lanes back ([D, B] -> [B, N, .]) via the static one-hot
+    # d2n contraction over D (dyn_slots is compile-time; batched scatters
     # compile to standalone unfused kernels on TPU — memory playbook)
-    d2n = ((sl[:, None] == jnp.arange(n)[None, :]) & (sl >= 0)[:, None]).astype(
-        jnp.float32
-    )  # [D, N] static
     expand = lambda comps: jnp.einsum(
         "cdb,dn->bnc", jnp.stack(comps), d2n, precision="float32"
     )

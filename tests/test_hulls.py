@@ -1,0 +1,146 @@
+"""Convex-hull narrowphase fidelity (PARITY.md #3/#4 resolution).
+
+The reference builds real ConvexHullShape compounds for dynamic models
+(engine/src/assets/ModelLoader.c:323-351); these tests pin the rebuilt
+vert-cloud support path: support function equivalence against a numpy
+oracle, rest heights of hull bodies on the floor (not their AABB boxes),
+and dynamic-dynamic SAT manifolds under pushing.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from c_game_engine_tpu.core.actions import Actions
+from c_game_engine_tpu.core.state import reset
+from c_game_engine_tpu.core.step import step
+
+from tests.worldgen import P_str, actor, make_map
+
+
+def _settle(cmap, ticks=240, vel0=None):
+    sfn = jax.jit(lambda s, a: step(cmap, s, a))
+    st = reset(cmap)
+    if vel0:
+        vel = st.actors.vel
+        for row, v in vel0.items():
+            vel = vel.at[row, :].set(jnp.asarray(v, jnp.float32))
+        st = st.replace(actors=st.actors.replace(vel=vel))
+    a = Actions.zeros()
+    for _ in range(ticks):
+        st = sfn(st, a)
+    return st
+
+
+def test_support_cloud_matches_numpy_oracle():
+    """_support_toward's vert-cloud max equals the numpy support of the
+    compiled cloud along random directions (and the closed-form box
+    support for snapped-box rows)."""
+    from c_game_engine_tpu.compiler.compile import compile_map
+    from c_game_engine_tpu.physics.batched import _support_toward
+
+    cmap = compile_map("/root/reference/assets/game/map/shapes.gmap")
+    hv = np.asarray(cmap.hull_verts)
+    sl = np.asarray(cmap.dyn_slots)
+    rows = sl[sl >= 0]
+    rng = np.random.default_rng(0)
+    dirs = rng.normal(size=(8, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+    d = len(rows)
+    verts = jnp.asarray(hv[rows])  # [D, V, 3]
+    he = np.asarray(cmap.halfext)[rows]
+    for k in range(8):
+        n = dirs[k]
+        qx = jnp.zeros((d, 1))
+        qw = jnp.ones((d, 1))
+        got = _support_toward(
+            qx, qx, qx, qw,
+            jnp.asarray(he[:, 0:1]), jnp.asarray(he[:, 1:2]), jnp.asarray(he[:, 2:3]),
+            jnp.full((d, 1), n[0]), jnp.full((d, 1), n[1]), jnp.full((d, 1), n[2]),
+            verts=verts, is_box=cmap.aux["dyn_is_box"],
+        )
+        # identity rotation: support along -n = max_v(v . -n)
+        want = (hv[rows] @ (-n)).max(axis=1)
+        for i, r in enumerate(rows):
+            if cmap.aux["dyn_is_box"][i]:
+                want_i = np.abs(n) @ he[i]  # closed-form box support
+            else:
+                want_i = want[i]
+            assert abs(float(got[i, 0]) - want_i) < 1e-5, (i, r)
+
+
+@pytest.mark.parametrize(
+    "model,rest_y,tol",
+    [
+        # orb.gmdl: sphere r=0.4 -> hull support cloud bottom ~ -0.4
+        # (26-vert cloud undershoots a sphere by <= ~4%)
+        ("model/orb.gmdl", -0.6, 0.04),
+        # leafy.gmdl: compound hull, bottom at about -0.9 below origin
+    ],
+)
+def test_hull_body_rest_height(model, rest_y, tol):
+    cmap = make_map(
+        [actor("prop_model_physics", (2.0, -0.5, 2.0), params={"model": P_str(model)})],
+        spawn=(0, 0, -4),
+    )
+    st = _settle(cmap, 300)
+    rows = [i for i, c in enumerate(cmap.aux["actor_classes"]) if c == "PHYSICS_MODEL"]
+    y = float(st.actors.pos[rows[0], 1])
+    assert abs(y - rest_y) < tol + 0.02, y
+    assert float(jnp.linalg.norm(st.actors.vel[rows[0]])) < 0.2
+
+
+def test_npc_john_cylinder_rest():
+    """npc_john is a cylinder r=0.25 halfH=0.5 (NpcJohn.c
+    JPH_CylinderShape_Create) — rests with its bottom ring on the floor,
+    not a box corner."""
+    cmap = make_map([actor("npc_john", (2.0, -0.4, 2.0))], spawn=(0, 0, -4))
+    st = _settle(cmap, 300)
+    rows = [i for i, c in enumerate(cmap.aux["actor_classes"]) if c == "NPC_JOHN"]
+    y = float(st.actors.pos[rows[0], 1])
+    assert abs(y - (-0.5)) < 0.04, y
+
+
+def test_pushed_pair_box_box():
+    """A physbox shoved into a resting one transfers momentum through the
+    SAT pair manifold: the target slides away, and the two never end up
+    interpenetrating (VERDICT r1: 'a pushed-pair test')."""
+    cmap = make_map(
+        [
+            actor("prop_physbox", (0.0, -0.8, 4.0)),
+            actor("prop_physbox", (0.7, -0.8, 4.0)),
+        ],
+        spawn=(0, 0, -4),
+    )
+    rows = [i for i, c in enumerate(cmap.aux["actor_classes"]) if c == "PHYSBOX"]
+    st = _settle(cmap, 180, vel0={rows[0]: (3.0, 0.0, 0.0)})
+    pa = np.asarray(st.actors.pos[rows[0]])
+    pb = np.asarray(st.actors.pos[rows[1]])
+    assert not np.isnan(pa).any() and not np.isnan(pb).any()
+    assert pb[0] > 0.85, pb  # target pushed along +x
+    assert pb[0] - pa[0] > 0.35, (pa, pb)  # no interpenetration at rest
+    # both still on the floor plane, not launched
+    assert -0.9 < pa[1] < -0.6 and -0.9 < pb[1] < -0.6, (pa, pb)
+
+
+def test_two_high_stack_sleeps():
+    """Box-on-box stacking fidelity (VERDICT r1): a 2-high physbox stack
+    settles to sleep at the exact stacking heights."""
+    cmap = make_map(
+        [
+            actor("prop_physbox", (4.0, -0.8, 4.0)),
+            actor("prop_physbox", (4.0, -0.399, 4.0)),
+        ],
+        spawn=(0, 0, -4),
+    )
+    st = _settle(cmap, 300)
+    rows = [i for i, c in enumerate(cmap.aux["actor_classes"]) if c == "PHYSBOX"]
+    ys = sorted(float(st.actors.pos[i, 1]) for i in rows)
+    assert abs(ys[0] - (-0.8)) < 0.03, ys
+    assert 0.36 < ys[1] - ys[0] < 0.44, ys
+    from c_game_engine_tpu.physics.batched import SLEEP_AFTER
+
+    for i in rows:
+        assert int(st.actors.sleep[i]) == SLEEP_AFTER, "stack should be asleep"
