@@ -444,85 +444,52 @@ def compile_map_source(path_or_dict, name: str = "mapsource") -> GMap:
     )
 
 
-def bake_lightmap(surfaces, atlas_size, point_lights, occluder_tris):
-    """Direct-lighting bake: per-luxel lambert * distance falloff with
-    shadow rays against the collision soup. The inner loop is a jitted JAX
-    kernel (runs on the accelerator when one is attached).
-
-    Light model (reference baker is external; model inferred from
-    Light.h:12-24 semantics, calibration vs shapes.gmap is a TODO):
-        atten = clamp(1 - d / range, 0, 1) ** attenuation
-        L += color * brightness * max(dot(n, l), 0) * atten
-    """
-    import jax
+def bake_lightmap(surfaces, atlas_size, point_lights, occluder_tris, bounces=1):
+    """Lightmap bake: per-luxel direct lighting (lambert * falloff with
+    shadow rays) + one-bounce indirect (compiler/baker.py), 2x2
+    supersampled per luxel so shadow boundaries resolve softly. The inner
+    loop is a jitted JAX kernel (runs on the accelerator when attached)."""
     import jax.numpy as jnp
+
+    from c_game_engine_tpu.compiler.baker import GAIN, make_shader
 
     aw, ah = atlas_size
     out = np.zeros((ah, aw, 4), np.float32)
     out[..., 3] = 1.0
+    shade_points = make_shader(point_lights, occluder_tris, bounces=bounces)
 
-    tri_a = jnp.asarray(occluder_tris[:, 0])
-    tri_e1 = jnp.asarray(occluder_tris[:, 1] - occluder_tris[:, 0])
-    tri_e2 = jnp.asarray(occluder_tris[:, 2] - occluder_tris[:, 0])
-    lights = jnp.asarray(point_lights)  # [L, 9]
-
-    @jax.jit
-    def shade_points(pts, normal):
-        """pts [B,3], normal [3] -> radiance [B,3]."""
-
-        def per_light(L):
-            lp, lc = L[:3], L[3:6]
-            brightness, rng, att = L[6], L[7], L[8]
-            delta = lp[None] - pts
-            dist = jnp.linalg.norm(delta, axis=-1)
-            ldir = delta / jnp.maximum(dist, 1e-9)[:, None]
-            lam = jnp.maximum(ldir @ normal, 0.0)
-            atten = jnp.clip(1.0 - dist / jnp.maximum(rng, 1e-6), 0.0, 1.0) ** jnp.maximum(att, 1e-6)
-            # shadow ray pts -> lp (Moller-Trumbore vs all occluders)
-            d = delta  # [B,3]
-            h = jnp.cross(d[:, None, :], tri_e2[None])
-            det = jnp.einsum("tj,btj->bt", tri_e1, h)
-            ok = jnp.abs(det) > 1e-9
-            inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-            s = pts[:, None, :] - tri_a[None]
-            u = jnp.einsum("btj,btj->bt", s, h) * inv
-            qv = jnp.cross(s, tri_e1[None])
-            v = jnp.einsum("bj,btj->bt", d, qv) * inv
-            t = jnp.einsum("tj,btj->bt", tri_e2, qv) * inv
-            hit = ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 1e-4) & (t < 1.0 - 1e-4)
-            visible = ~jnp.any(hit, axis=1)
-            w = jnp.where((lam > 0) & (atten > 0) & visible, brightness * lam * atten, 0.0)
-            return lc[None] * w[:, None]
-
-        acc = jax.lax.map(per_light, lights)  # [L, B, 3]
-        return jnp.sum(acc, axis=0)
+    # 2x2 rotated-grid supersample offsets within a luxel
+    SS = np.array([[-0.25, -0.25], [0.25, -0.25], [-0.25, 0.25], [0.25, 0.25]], np.float32) * 0.8
 
     for sf in surfaces:
         w, h = sf.lm_size_luxels
         x0, y0 = sf.lm_rect
-        lx = (np.arange(w) + 0.5) / sf.luxels_per_unit
-        ly = (np.arange(h) + 0.5) / sf.luxels_per_unit
-        gu, gv = np.meshgrid(lx, ly)  # [h, w]
-        # world position of each luxel: org + u*axis0 + v*axis1 (+ lift off
-        # the surface along the normal to avoid self-shadowing)
-        world = (
-            (gu[..., None] + sf.lm_org[0]) * sf.lm_axes[0]
-            + (gv[..., None] + sf.lm_org[1]) * sf.lm_axes[1]
-        )
-        # the chart axes don't span 3D; reconstruct the missing coordinate
-        # from the surface plane via any vertex
-        ref = sf.verts[0, :3]
-        missing = ref - (ref @ sf.lm_axes[0]) * sf.lm_axes[0] - (ref @ sf.lm_axes[1]) * sf.lm_axes[1]
-        world = world + missing + sf.normal * 1e-2
-        pts = world.reshape(-1, 3).astype(np.float32)
-        # pad to a fixed chunk size so the jit caches one shape
-        CH = 8192
-        acc = np.zeros((pts.shape[0], 3), np.float32)
-        for s0 in range(0, pts.shape[0], CH):
-            chunk = pts[s0 : s0 + CH]
-            padded = np.zeros((CH, 3), np.float32)
-            padded[: len(chunk)] = chunk
-            res = np.asarray(shade_points(jnp.asarray(padded), jnp.asarray(sf.normal)))
-            acc[s0 : s0 + CH] = res[: len(chunk)]
-        out[y0 : y0 + h, x0 : x0 + w, :3] = acc.reshape(h, w, 3)
+        acc_ss = None
+        for off in SS:
+            lx = (np.arange(w) + 0.5 + off[0]) / sf.luxels_per_unit
+            ly = (np.arange(h) + 0.5 + off[1]) / sf.luxels_per_unit
+            gu, gv = np.meshgrid(lx, ly)  # [h, w]
+            # world position of each sample: org + u*axis0 + v*axis1 (+ lift
+            # off the surface along the normal to avoid self-shadowing)
+            world = (
+                (gu[..., None] + sf.lm_org[0]) * sf.lm_axes[0]
+                + (gv[..., None] + sf.lm_org[1]) * sf.lm_axes[1]
+            )
+            # the chart axes don't span 3D; reconstruct the missing
+            # coordinate from the surface plane via any vertex
+            ref = sf.verts[0, :3]
+            missing = ref - (ref @ sf.lm_axes[0]) * sf.lm_axes[0] - (ref @ sf.lm_axes[1]) * sf.lm_axes[1]
+            world = world + missing + sf.normal * 1e-2
+            pts = world.reshape(-1, 3).astype(np.float32)
+            # pad to a fixed chunk size so the jit caches one shape
+            CH = 8192
+            acc = np.zeros((pts.shape[0], 3), np.float32)
+            for s0 in range(0, pts.shape[0], CH):
+                chunk = pts[s0 : s0 + CH]
+                padded = np.zeros((CH, 3), np.float32)
+                padded[: len(chunk)] = chunk
+                res = np.asarray(shade_points(jnp.asarray(padded), jnp.asarray(sf.normal)))
+                acc[s0 : s0 + CH] = res[: len(chunk)]
+            acc_ss = acc if acc_ss is None else acc_ss + acc
+        out[y0 : y0 + h, x0 : x0 + w, :3] = GAIN * (acc_ss / len(SS)).reshape(h, w, 3)
     return out
