@@ -26,14 +26,16 @@ light_point actors are consumed into baked lighting + the point-light table
 (the runtime light uniform is declared but never bound in the reference —
 SURVEY.md §2.4 — so baked + global light is the full lighting model).
 
-Known divergence from the (external, unreleased) editor compiler: when
-sector volumes overlap vertically, the editor clips floor/ceiling polygons
-against the overlapping sector footprints (visible in stacked.gmap's extra
-seam vertices); we emit the full polygons instead — equivalent collision
-coverage, slightly more coplanar triangles. Shipped test.gmap/stacked.gmap
-also predate their current JSON sources (sector-3 circle coordinates
-differ), so exact-parity checks are only meaningful on button/
-advanced_doors (verified bit-exact there).
+Plane-touch CSG: when sector A's ceiling plane equals sector B's floor
+plane and their footprints overlap, the overlap is an OPENING between the
+rooms — removed from both surfaces, render AND collision (verified
+against stacked.gmap's annulus geometry; per-plane areas match exactly,
+tests/test_compiler.py). Our convex-decomposition tessellation is finer
+than the editor's. Partial VOLUME overlap (as opposed to touching planes)
+appears in no shipped content and is not implemented. Shipped
+test.gmap/stacked.gmap also predate their current JSON sources (sector-3
+circle coordinates differ), so exact byte-parity checks are only
+meaningful on button/advanced_doors (verified bit-exact there).
 """
 
 from __future__ import annotations
@@ -192,6 +194,174 @@ def _uv(m: dict):
     )
 
 
+# ---------------------------------------------------------------------------
+# plane-touch CSG (stacked sectors): when sector A's ceiling plane equals
+# sector B's floor plane and their footprints overlap, the overlap is an
+# OPENING between the rooms — the editor removes it from BOTH surfaces,
+# render AND collision (verified against stacked.gmap: sector 5's ceiling
+# at y=-1 is an annulus around sector 6's footprint, in the draw mesh and
+# the collision soup alike; sealing it would block a real passage).
+# ---------------------------------------------------------------------------
+
+
+def _clip_halfplane(poly, a, b, keep_inside):
+    """Sutherland-Hodgman clip of convex CCW polygon [N,2] against edge
+    a->b; keep_inside keeps the left side (the triangle interior for CCW
+    edges)."""
+    if len(poly) == 0:
+        return poly
+    ex, ez = b[0] - a[0], b[1] - a[1]
+
+    def side(p):
+        s = ex * (p[1] - a[1]) - ez * (p[0] - a[0])
+        return s if keep_inside else -s
+
+    out = []
+    n = len(poly)
+    for i in range(n):
+        p, q = poly[i], poly[(i + 1) % n]
+        sp, sq = side(p), side(q)
+        if sp >= -1e-12:
+            out.append(p)
+        if (sp > 1e-12 and sq < -1e-12) or (sp < -1e-12 and sq > 1e-12):
+            t = sp / (sp - sq)
+            out.append(p + (q - p) * t)
+    return np.array(out) if out else np.zeros((0, 2))
+
+
+def _poly_area2(poly):
+    if len(poly) < 3:
+        return 0.0
+    x, z = poly[:, 0], poly[:, 1]
+    return float(np.sum(x * np.roll(z, -1) - np.roll(x, -1) * z))
+
+
+def _convex_subtract(piece, clip_tri):
+    """piece minus clip_tri for convex CCW `piece` and convex CCW clip: returns a
+    list of convex CCW pieces (the classic per-edge outside decomposition)."""
+    out = []
+    inside = piece
+    for e in range(len(clip_tri)):
+        a, b = clip_tri[e], clip_tri[(e + 1) % len(clip_tri)]
+        outside_part = _clip_halfplane(inside, a, b, keep_inside=False)
+        if abs(_poly_area2(outside_part)) > 1e-9:
+            out.append(outside_part)
+        inside = _clip_halfplane(inside, a, b, keep_inside=True)
+        if abs(_poly_area2(inside)) <= 1e-12:
+            break
+    return out
+
+
+def _ccw_tri_coords(pts, tris):
+    """Index triples -> CCW coordinate triangles [T, 3, 2]."""
+    out = []
+    for t in tris:
+        c = np.array([pts[t[0]], pts[t[1]], pts[t[2]]], np.float64)
+        if _poly_area2(c) < 0:
+            c = c[::-1]
+        out.append(c)
+    return out
+
+
+def _merge_convex(tris_coords):
+    """Greedy Hertel-Mehlhorn-style merge: combine edge-adjacent convex
+    pieces while the union stays convex — fewer, larger pieces keep the
+    subtraction from fragmenting the subject quadratically. Adjacency via
+    hashed (rounded) directed edges, so the pass is O(n * edges)."""
+
+    def is_convex(poly):
+        n = len(poly)
+        for i in range(n):
+            a, b, c = poly[i - 1], poly[i], poly[(i + 1) % n]
+            if (b[0] - a[0]) * (c[1] - b[1]) - (b[1] - a[1]) * (c[0] - b[0]) < -1e-9:
+                return False
+        return True
+
+    def key(p):
+        return (round(float(p[0]) * 1e6), round(float(p[1]) * 1e6))
+
+    pieces = {i: np.asarray(t, np.float64) for i, t in enumerate(tris_coords)}
+
+    def edges_of(pid):
+        poly = pieces[pid]
+        n = len(poly)
+        return [((key(poly[k]), key(poly[(k + 1) % n])), k) for k in range(n)]
+
+    changed = True
+    while changed:
+        changed = False
+        # rebuild adjacency each round (stale incremental entries after a
+        # merge were a correctness trap; dict rebuilds are cheap)
+        edge_map = {}
+        for pid in pieces:
+            for e, k in edges_of(pid):
+                edge_map[e] = (pid, k)
+        for pid in list(pieces.keys()):
+            if pid not in pieces:
+                continue
+            done = False
+            for (e0, e1), ii in edges_of(pid):
+                other = edge_map.get((e1, e0))
+                if other is None or other[0] == pid or other[0] not in pieces:
+                    continue
+                qid, jj = other
+                a, b = pieces[pid], pieces[qid]
+                if not (
+                    key(a[ii]) == key(b[(jj + 1) % len(b)])
+                    and key(a[(ii + 1) % len(a)]) == key(b[jj])
+                ):
+                    continue
+                union = np.concatenate(
+                    [
+                        [a[(ii + 1 + k) % len(a)] for k in range(len(a))],
+                        [b[(jj + 1 + k) % len(b)] for k in range(1, len(b) - 1)],
+                    ]
+                )
+                if not is_convex(union):
+                    continue
+                pieces[pid] = union
+                del pieces[qid]
+                changed = True
+                done = True
+                break
+            if done:
+                break
+    return list(pieces.values())
+
+
+def _face_geometry(pts, clip_polys):
+    """Triangulated polygon minus the clip footprints: returns
+    (verts2 [V,2], tris [T,3]) wound CCW in XZ."""
+    pieces = _ccw_tri_coords(pts, triangulate_polygon(pts))
+    for cp in clip_polys:
+        for ct in _merge_convex(_ccw_tri_coords(cp, triangulate_polygon(cp))):
+            nxt = []
+            for piece in pieces:
+                nxt.extend(_convex_subtract(piece, ct))
+            pieces = nxt
+            if not pieces:
+                return np.zeros((0, 2)), np.zeros((0, 3), np.int32)
+    # NOTE: merging the FINAL pieces (not just the clip decomposition) was
+    # tried and reverted: pieces from different subtraction stages can
+    # share partial/collinear edges where the exact-endpoint merge builds
+    # non-simple unions. The clip-side merge alone keeps counts sane.
+    verts, tris = [], []
+    for piece in pieces:
+        base = len(verts)
+        verts.extend(piece)
+        for k in range(1, len(piece) - 1):
+            tris.append((base, base + k, base + k + 1))
+    return np.asarray(verts, np.float64), np.asarray(tris, np.int32).reshape(-1, 3)
+
+
+def _bbox_overlap(a, b):
+    return bool(
+        (a.min(0)[0] < b.max(0)[0]) and (a.max(0)[0] > b.min(0)[0])
+        and (a.min(0)[1] < b.max(0)[1]) and (a.max(0)[1] > b.min(0)[1])
+    )
+
+
+
 def compile_map_source(path_or_dict, name: str = "mapsource") -> GMap:
     """Compile a mapSources JSON file into GMap IR (same shape the shipped
     .gmap decoder produces)."""
@@ -226,22 +396,30 @@ def compile_map_source(path_or_dict, name: str = "mapsource") -> GMap:
         n = len(pts)
         sector_tris_collision = []
 
-        # ---- floor & ceiling ----
-        poly_tris = triangulate_polygon(pts)
+        # ---- floor & ceiling (with plane-touch CSG openings) ----
         for which, mat, y, up in (
             ("floor", s["floorMaterial"], fh, True),
             ("ceiling", s["ceilingMaterial"], ch, False),
         ):
+            clips = []
+            for sj, o in enumerate(sectors):
+                if sj == si or not _bbox_overlap(pts, sec_pts[sj]):
+                    continue
+                oh = float(o["ceilingHeight"]) if up else float(o["floorHeight"])
+                if abs(oh - y) < 1e-6:
+                    clips.append(sec_pts[sj])
+            v2, tris = _face_geometry(pts, clips)
+            if len(tris) == 0:
+                continue
             scale, off = _uv(mat)
-            verts = np.zeros((n, 5), np.float32)
-            verts[:, 0] = pts[:, 0]
+            verts = np.zeros((len(v2), 5), np.float32)
+            verts[:, 0] = v2[:, 0]
             verts[:, 1] = y
-            verts[:, 2] = pts[:, 1]
-            verts[:, 3] = pts[:, 0] * scale[0] + off[0]
-            verts[:, 4] = pts[:, 1] * scale[1] + off[1]
-            tris = np.array(poly_tris, np.int32).reshape(-1, 3)
+            verts[:, 2] = v2[:, 1]
+            verts[:, 3] = v2[:, 0] * scale[0] + off[0]
+            verts[:, 4] = v2[:, 1] * scale[1] + off[1]
             if up:
-                tris = tris[:, ::-1]  # CCW-in-XZ fan faces down; flip for up
+                tris = tris[:, ::-1]  # CCW-in-XZ faces down; flip for up
             surf = Surface(
                 material=_mat_path(mat),
                 uv_scale=scale,

@@ -228,18 +228,30 @@ def _concat_parts(parts):
     return out
 
 
-def _resolve_backend(backend, height, width):
+# Maps whose worst-case live triangle count exceeds this use the XLA
+# backend under "auto": the tile kernel's VMEM-resident table caps at
+# T_CULL live triangles and overflow drops geometry. Only orb.gmap (78k
+# hull-model tris) exceeds it among the shipped maps.
+PALLAS_MAX_BOUND = 65536
+
+
+def _resolve_backend(backend, height, width, bundle=None):
     backend = BACKEND if backend is None else backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if bundle is not None and bundle.live_tri_bound > PALLAS_MAX_BOUND:
+            backend = "xla"
     # the tile kernel needs whole (8, 128) framebuffer tiles
     if backend == "pallas" and (height % 8 or width % 128):
         backend = "xla"
     return backend
 
 
-def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=None):
+def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=None,
+           mipmaps=True):
     """Render one env's view. Returns f32 [H, W, 3] in [0, 1].
+    mipmaps=False samples base levels only (Options.mipmaps off,
+    Options.h:37-84).
 
     Pipeline (both backends): gather triangle soup -> PRE-CLIP compaction
     by the validity mask (the pool carries every LOD of every actor, so
@@ -248,7 +260,7 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=Non
     pass 1 z-buffer -> pass 2 shading. The pallas backend interpolates
     attributes inside the tile kernel (ops/raster_tiles.py); the xla
     backend gathers per-pixel from a packed per-vertex table."""
-    backend = _resolve_backend(backend, height, width)
+    backend = _resolve_backend(backend, height, width, bundle)
     vp, cam_pos = camera_matrix(cmap, state, width, height, fov_deg)
     parts = gather_triangles(bundle, cmap, state, camera_pos_hint=cam_pos)
 
@@ -361,11 +373,24 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=Non
     py = jnp.arange(height, dtype=jnp.float32) + 0.5
     gx, gy = jnp.meshgrid(px, py)
 
+    # per-triangle mip level from texel/pixel density (exact for affine
+    # mappings; perspective variation within one triangle is small at map
+    # scales). Quantized to quarter-levels in the enc word so both
+    # backends carry it for free.
+    tex_wh = bundle.atlas.table[jnp.clip(tri["tex"], 0, None)][:, 2:4]  # [T, 2]
+    du1 = (tri["uv"][:, 1] - tri["uv"][:, 0]) * tex_wh
+    du2 = (tri["uv"][:, 2] - tri["uv"][:, 0]) * tex_wh
+    texel_area = jnp.abs(du1[:, 0] * du2[:, 1] - du1[:, 1] * du2[:, 0])
+    px_area = jnp.abs(area2)
+    lod = 0.5 * jnp.log2(jnp.maximum(texel_area, 1e-12) / jnp.maximum(px_area, 1e-12))
+    lod_q = jnp.clip(jnp.round(lod * 4.0), 0, 63).astype(jnp.int32)
+
     enc = (
         (tri["tex"] + 1)
         | (tri["kind"] << 12)
         | (tri["shaded"].astype(jnp.int32) << 14)
-    )  # [T]
+        | (lod_q << 15)
+    )  # [T] (< 2^21: exact as f32 through the tile kernel)
 
     if backend == "pallas":
         from c_game_engine_tpu.ops.raster_tiles import bin_triangles, raster_tiles_pallas
@@ -445,9 +470,11 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=Non
     tex_id = (genc & 0xFFF) - 1
     kind = (genc >> 12) & 3
     shaded = ((genc >> 14) & 1).astype(bool)
+    lod_pix = ((genc >> 15) & 63).astype(jnp.float32) * 0.25 if mipmaps else None
 
     rgb = shade(
-        bundle, state, gx, gy, uv, lmuv, color, tex_id, kind, shaded, frag_depth
+        bundle, state, gx, gy, uv, lmuv, color, tex_id, kind, shaded, frag_depth,
+        lod=lod_pix,
     )
     # background (no winner): fog color (the clear color is the fog color in
     # spirit; Vulkan clears to black — use black)
@@ -586,10 +613,11 @@ def _clip_near(clip, tri, near_w=0.01):
     return clip_out, tri_out
 
 
-def shade(bundle, state, gx, gy, uv, lmuv, color, tex_id, kind, shaded, frag_depth):
+def shade(bundle, state, gx, gy, uv, lmuv, color, tex_id, kind, shaded, frag_depth,
+          lod=None):
     """Exact fragment math from the extracted .gshd sources."""
     env = state.env
-    tex4 = sample(bundle.atlas, tex_id, uv)
+    tex4 = sample(bundle.atlas, tex_id, uv, lod=lod)
 
     out = tex4 * color[..., 3:4]
     fade = jnp.clip(out[..., 3], 0.0, 1.0)
@@ -723,11 +751,12 @@ def render_viewmodel(bundle, state, frame):
     return jnp.where(has[..., None], rgb, frame)
 
 
-def render_with_hud(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=None):
+def render_with_hud(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=None,
+                    mipmaps=True):
     """Full frame: world render + viewmodel + HUD composite (MainStateRender,
     MainState.c:95-110: RenderMap -> RenderHUD)."""
     from c_game_engine_tpu.render.hud import render_hud
 
-    frame = render(bundle, cmap, state, height, width, fov_deg, backend)
+    frame = render(bundle, cmap, state, height, width, fov_deg, backend, mipmaps=mipmaps)
     frame = render_viewmodel(bundle, state, frame)
     return render_hud(bundle.atlas, bundle.hud, state, frame)

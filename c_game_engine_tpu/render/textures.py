@@ -2,10 +2,18 @@
 array, replacing the bindless Textures[512] descriptor array
 (VulkanInternal.c:288-324, MAX_TEXTURES=512 TextureLoader.h:15).
 
-Per-texture sampling honors the .gtex filter/repeat flags
-(TextureLoader.c:70-140, 6 sampler variants VulkanResources.c:434-511):
-repeat wraps UVs, clamp otherwise; filter=bilinear, else nearest.
-Mipmaps are not implemented (TODO round2).
+Per-texture sampling honors the .gtex filter/repeat/mipmaps flags
+(TextureLoader.c:70-140 — the reference picks 1 of 6 samplers from these
+flags, VulkanResources.c:434-511):
+  repeat  -> wrap UVs, else clamp
+  filter  -> bilinear (trilinear across mip levels), else nearest
+  mipmaps -> a box-filtered mip chain is packed into the atlas; the
+             rasterizer selects the level from the per-triangle
+             texel/pixel density (render/raster.py), honoring
+             Options.mipmaps (Options.h:37-84) via render(mipmaps=...).
+Anisotropic filtering (Options anisotropy 0-16x) has no software
+equivalent at sensible cost — mip selection uses the isotropic density
+(PARITY.md #10).
 """
 
 from __future__ import annotations
@@ -14,31 +22,59 @@ import numpy as np
 import jax.numpy as jnp
 from flax import struct
 
+MAX_MIPS = 6  # 1/32 of base resolution — plenty below 256^2 framebuffers
+
 
 @struct.dataclass
 class TextureAtlas:
     image: jnp.ndarray  # [AH, AW, 4] f32
     table: jnp.ndarray  # [T, 6] f32: x0, y0, w, h, repeat, filter
+    mips: jnp.ndarray  # [T, MAX_MIPS, 4] f32: x0, y0, w, h per level
+    n_mips: jnp.ndarray  # [T] f32 (1 = no chain)
 
     @property
     def size(self):
         return self.image.shape[1], self.image.shape[0]
 
 
+def _downsample(px: np.ndarray) -> np.ndarray:
+    """2x2 box filter (odd sizes drop the last row/col, min size 1)."""
+    h, w = px.shape[:2]
+    nh, nw = max(h // 2, 1), max(w // 2, 1)
+    px = px[: nh * 2, : nw * 2] if (h > 1 and w > 1) else px
+    if h > 1 and w > 1:
+        return 0.25 * (px[0::2, 0::2] + px[1::2, 0::2] + px[0::2, 1::2] + px[1::2, 1::2])
+    if h > 1:
+        return 0.5 * (px[0::2] + px[1::2])
+    if w > 1:
+        return 0.5 * (px[:, 0::2] + px[:, 1::2])
+    return px
+
+
 def build_atlas(textures: list) -> TextureAtlas:
-    """Shelf-pack decoded Texture objects (assets.codecs.Texture)."""
+    """Shelf-pack decoded Texture objects (assets.codecs.Texture) and the
+    mip chains of those with the mipmaps flag."""
     if not textures:
         textures = []
-    sizes = [(t.width, t.height) for t in textures]
+    # per-texture mip pyramids (level 0 = the texture itself)
+    chains = []
+    for t in textures:
+        levels = [np.asarray(t.pixels, np.float32)]
+        if t.mipmaps:
+            while len(levels) < MAX_MIPS and max(levels[-1].shape[:2]) > 1:
+                levels.append(_downsample(levels[-1]))
+        chains.append(levels)
+
+    rects = [(lv.shape[1], lv.shape[0]) for ch in chains for lv in ch]
     # shelf pack, 1px gutter
     width = 1
-    max_w = max([w for w, h in sizes], default=1)
-    area = sum((w + 2) * (h + 2) for w, h in sizes) or 1
+    max_w = max([w for w, h in rects], default=1)
+    area = sum((w + 2) * (h + 2) for w, h in rects) or 1
     while width < max_w + 2 or width * width < area:
         width *= 2
     x, y, shelf = 1, 1, 0
     pos = []
-    for w, h in sizes:
+    for w, h in rects:
         if x + w + 1 > width:
             x, y, shelf = 1, y + shelf + 2, 0
         pos.append((x, y))
@@ -47,22 +83,39 @@ def build_atlas(textures: list) -> TextureAtlas:
     height = 1
     while height < y + shelf + 1:
         height *= 2
+
     img = np.zeros((height, width, 4), np.float32)
-    table = np.zeros((max(len(textures), 1), 6), np.float32)
-    for i, (t, (px, py)) in enumerate(zip(textures, pos)):
-        img[py : py + t.height, px : px + t.width] = t.pixels
-        table[i] = [px, py, t.width, t.height, float(t.repeat), float(t.filter)]
-    return TextureAtlas(image=jnp.asarray(img), table=jnp.asarray(table))
+    nt = max(len(textures), 1)
+    table = np.zeros((nt, 6), np.float32)
+    mips = np.zeros((nt, MAX_MIPS, 4), np.float32)
+    n_mips = np.ones(nt, np.float32)
+    ri = 0
+    for i, (t, ch) in enumerate(zip(textures, chains)):
+        for li, lv in enumerate(ch):
+            px, py = pos[ri]
+            ri += 1
+            lh, lw = lv.shape[:2]
+            img[py : py + lh, px : px + lw] = lv
+            mips[i, li] = [px, py, lw, lh]
+            if li == 0:
+                table[i] = [px, py, lw, lh, float(t.repeat), float(t.filter)]
+        # pad the chain by repeating the last level (lod clamps there)
+        for li in range(len(ch), MAX_MIPS):
+            mips[i, li] = mips[i, len(ch) - 1]
+        n_mips[i] = len(ch)
+    if not textures:
+        mips[0, :] = [0, 0, 1, 1]
+    return TextureAtlas(
+        image=jnp.asarray(img),
+        table=jnp.asarray(table),
+        mips=jnp.asarray(mips),
+        n_mips=jnp.asarray(n_mips),
+    )
 
 
-def sample(atlas: TextureAtlas, tex_id, uv):
-    """Sample texture `tex_id` at `uv`. Broadcasts over leading dims.
-    tex_id: [...] i32; uv: [..., 2]. Returns [..., 4]."""
-    t = atlas.table[jnp.clip(tex_id, 0, atlas.table.shape[0] - 1)]
-    x0, y0, w, h = t[..., 0], t[..., 1], t[..., 2], t[..., 3]
-    repeat = t[..., 4] > 0.5
-    bilinear = t[..., 5] > 0.5
-
+def _sample_level(atlas, rect, repeat, bilinear, uv):
+    """Bilinear/nearest fetch within one mip rect [..., 4]."""
+    x0, y0, w, h = rect[..., 0], rect[..., 1], rect[..., 2], rect[..., 3]
     u = uv[..., 0]
     v = uv[..., 1]
     u = jnp.where(repeat, u - jnp.floor(u), jnp.clip(u, 0.0, 1.0))
@@ -94,3 +147,28 @@ def sample(atlas: TextureAtlas, tex_id, uv):
         + c11 * (tx * ty)[..., None]
     )
     return jnp.where(bilinear[..., None], lin, nearest)
+
+
+def sample(atlas: TextureAtlas, tex_id, uv, lod=None):
+    """Sample texture `tex_id` at `uv`. Broadcasts over leading dims.
+    tex_id: [...] i32; uv: [..., 2]; lod: [...] f32 mip level or None
+    (None = base level only, e.g. Options.mipmaps off). Returns [..., 4].
+    Trilinear (blend between the two straddling levels) when the texture's
+    filter flag is set; nearest level otherwise."""
+    tid = jnp.clip(tex_id, 0, atlas.table.shape[0] - 1)
+    t = atlas.table[tid]
+    repeat = t[..., 4] > 0.5
+    bilinear = t[..., 5] > 0.5
+    if lod is None:
+        return _sample_level(atlas, t[..., :4], repeat, bilinear, uv)
+
+    max_l = jnp.maximum(atlas.n_mips[tid] - 1.0, 0.0)
+    lodc = jnp.clip(lod, 0.0, max_l)
+    l0 = jnp.floor(jnp.where(bilinear, lodc, jnp.round(lodc))).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, max_l.astype(jnp.int32))
+    frac = jnp.where(bilinear, lodc - l0.astype(jnp.float32), 0.0)
+    r0 = atlas.mips[tid, l0]
+    c0 = _sample_level(atlas, r0, repeat, bilinear, uv)
+    r1 = atlas.mips[tid, l1]
+    c1 = _sample_level(atlas, r1, repeat, bilinear, uv)
+    return c0 + (c1 - c0) * frac[..., None]

@@ -48,3 +48,44 @@ def test_door_compile():
     opened = np.asarray(cm.sfparams[i, 2:5])
     # open and closed positions are `width` apart (Door.c:CreateDoorBodies)
     assert np.isclose(np.linalg.norm(opened - closed), width, atol=1e-4)
+
+
+def test_stacked_csg_openings_match_shipped():
+    """Plane-touching sectors (A.ceiling == B.floor, overlapping
+    footprints) get an OPENING: the overlap is cut from both surfaces,
+    render and collision alike (stacked.gmap sector 5's ceiling at y=-1 is
+    an annulus around sector 6). Our tessellation is finer than the
+    editor's, so the pin is exact AREA per horizontal plane."""
+    import numpy as np
+
+    from c_game_engine_tpu.assets.gmap import decode_gmap
+    from c_game_engine_tpu.compiler.sectors import compile_map_source
+
+    def plane_areas(g):
+        allt = [
+            np.asarray(s) + np.asarray(c.origin)[None, None, :]
+            for c in g.collision
+            for s in c.sub_tris
+        ]
+        tris = np.concatenate(allt, 0)
+        flat = np.abs(tris[:, :, 1] - tris[:, 0:1, 1]).max(-1) < 1e-6
+        out = {}
+        for yp in np.unique(np.round(tris[flat][:, 0, 1], 4)):
+            sel = flat & (np.abs(tris[:, 0, 1] - yp) < 1e-6)
+            area = sum(
+                abs(
+                    (t[1, 0] - t[0, 0]) * (t[2, 2] - t[0, 2])
+                    - (t[1, 2] - t[0, 2]) * (t[2, 0] - t[0, 0])
+                )
+                / 2
+                for t in tris[sel]
+            )
+            out[float(yp)] = area
+        return out
+
+    ours = plane_areas(compile_map_source("/root/reference/mapSources/stacked.json"))
+    ship = plane_areas(decode_gmap("/root/reference/assets/game/map/stacked.gmap"))
+    for yp, want in ship.items():
+        got = ours.get(yp)
+        assert got is not None, f"missing plane y={yp}"
+        assert abs(got - want) < 0.05, (yp, got, want)
