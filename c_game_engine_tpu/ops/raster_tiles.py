@@ -65,7 +65,7 @@ def _grids(ty, tx):
 
 
 def _kernel(
-    tri_ref, idx_ref, cnt_ref,
+    tri_ref, idx_ref, cnt_ref, excl_ref,
     z_ref, win_ref, fd_ref, u_ref, v_ref, lu_ref, lv_ref,
     cr_ref, cg_ref, cb_ref, ca_ref, enc_ref,
 ):
@@ -73,6 +73,7 @@ def _kernel(
     tx = pl.program_id(1)
     gx, gy = _grids(ty, tx)
     cnt = cnt_ref[0, 0, 0, 0]
+    excl = excl_ref[...]  # [TILE_H, TILE_W] i32 triangle id to skip (-1 none)
 
     def edges(ax, ay, bx, by, cx, cy):
         e0 = (bx - ax) * (gy - ay) - (by - ay) * (gx - ax)
@@ -90,7 +91,8 @@ def _kernel(
         denom = e0 + e1 + e2
         denom = jnp.where(jnp.abs(denom) > 1e-9, denom, 1e-9)
         z = (e1 * c(6) + e2 * c(7) + e0 * c(8)) / denom
-        closer = inside & (z > 0.0) & (z < 1.0) & (z < zbuf)
+        ti = c(9).astype(jnp.int32)
+        closer = inside & (z > 0.0) & (z < 1.0) & (z < zbuf) & (ti != excl)
         zbuf = jnp.where(closer, z, zbuf)
         win = jnp.where(closer, j, win)
         return zbuf, win
@@ -178,7 +180,7 @@ def bin_triangles(sx, sy, tri_ok, height, width):
     return idx, cnt[:, :, None, None]
 
 
-def raster_tiles_pallas(tri48, idx, cnt, height, width):
+def raster_tiles_pallas(tri48, idx, cnt, height, width, exclude=None):
     """tri48 [T, 48] packed screen-space triangles + per-vertex attributes
     (column layout in the module docstring); idx [NTy, NTx, L] per-tile
     triangle lists from bin_triangles; cnt [NTy, NTx, 1, 1].
@@ -191,6 +193,8 @@ def raster_tiles_pallas(tri48, idx, cnt, height, width):
     f32 = jnp.float32
     idx4 = idx[..., None]  # trailing unit dim: Mosaic needs the last two
     # block dims to equal the array dims for SMEM blocks
+    if exclude is None:
+        exclude = jnp.full((height, width), -1, jnp.int32)
     outs = pl.pallas_call(
         _kernel,
         grid=(nty, ntx),
@@ -198,6 +202,7 @@ def raster_tiles_pallas(tri48, idx, cnt, height, width):
             pl.BlockSpec((T, N_COLS), lambda ty, tx: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, L, 1), lambda ty, tx: (ty, tx, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1, 1), lambda ty, tx: (ty, tx, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx: (ty, tx), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx: (ty, tx)) for _ in range(12)
@@ -207,5 +212,5 @@ def raster_tiles_pallas(tri48, idx, cnt, height, width):
             jax.ShapeDtypeStruct((height, width), jnp.int32),
         ] + [jax.ShapeDtypeStruct((height, width), f32) for _ in range(9)]
         + [jax.ShapeDtypeStruct((height, width), jnp.int32)],
-    )(tri48, idx4, cnt[:, :, :, :])
+    )(tri48, idx4, cnt[:, :, :, :], exclude)
     return outs

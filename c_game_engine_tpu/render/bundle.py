@@ -68,6 +68,9 @@ class RenderBundle:
     # (map + per-actor worst LOD + walls + sky) — sizes the pre-clip
     # compaction in render/raster.py so it can never drop live geometry
     live_tri_bound: int = struct.field(pytree_node=False, default=1 << 30)
+    # whether any texture/material/actor color carries alpha < 1: gates
+    # the screen-door reveal-behind second render pass (render/raster.py)
+    has_alpha: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def num_map_tris(self):
@@ -305,8 +308,20 @@ def build_render_bundle(cmap) -> RenderBundle:
         + len(sky_pos)
     )
 
+    atlas_np_alpha = min(
+        (float(np.asarray(resolver.texture(n).pixels)[..., 3].min()) for n in tex_names),
+        default=1.0,
+    )
+    color_alpha = min(
+        float(np.asarray(cmap.init_mod_color)[..., 3].min()),
+        float(np.asarray(skin_color)[..., 3].min()),
+        float(np.asarray(mdl_color)[..., 3].min()) if len(mdl_color) else 1.0,
+    )
+    has_alpha = bool(min(atlas_np_alpha, color_alpha) < 0.999)
+
     return RenderBundle(
         live_tri_bound=live_bound,
+        has_alpha=has_alpha,
         atlas=atlas,
         lightmap=cmap.lightmap,
         map_pos=jnp.asarray(map_pos),

@@ -248,10 +248,13 @@ def _resolve_backend(backend, height, width, bundle=None):
 
 
 def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=None,
-           mipmaps=True):
+           mipmaps=True, ssaa=1):
     """Render one env's view. Returns f32 [H, W, 3] in [0, 1].
     mipmaps=False samples base levels only (Options.mipmaps off,
-    Options.h:37-84).
+    Options.h:37-84). ssaa=N renders at N x the resolution and box-filters
+    down — the software counterpart of Options.msaa (true MSAA's
+    edge-only resolve has no software-rasterizer cost advantage, so this
+    supersamples shading too; PARITY.md #10).
 
     Pipeline (both backends): gather triangle soup -> PRE-CLIP compaction
     by the validity mask (the pool carries every LOD of every actor, so
@@ -260,6 +263,12 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=Non
     pass 1 z-buffer -> pass 2 shading. The pallas backend interpolates
     attributes inside the tile kernel (ops/raster_tiles.py); the xla
     backend gathers per-pixel from a packed per-vertex table."""
+    if ssaa > 1:
+        big = render(
+            bundle, cmap, state, height * ssaa, width * ssaa, fov_deg, backend,
+            mipmaps=mipmaps, ssaa=1,
+        )
+        return big.reshape(height, ssaa, width, ssaa, 3).mean((1, 3))
     backend = _resolve_backend(backend, height, width, bundle)
     vp, cam_pos = camera_matrix(cmap, state, width, height, fov_deg)
     parts = gather_triangles(bundle, cmap, state, camera_pos_hint=cam_pos)
@@ -411,28 +420,39 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=Non
         for vtx in range(3):
             for ch in range(4):
                 cols.append(tri["color"][:, vtx, ch])
-        cols.append(enc.astype(jnp.float32))  # col 37, exact (< 2^15)
+        cols.append(enc.astype(jnp.float32))  # col 37, exact (< 2^21)
         tri48 = jnp.stack(
             cols + [jnp.zeros_like(sx[:, 0])] * (48 - len(cols)), axis=-1
         )
         idx, cnt = bin_triangles(sx, sy, tri_ok, height, width)
-        outs = raster_tiles_pallas(tri48, idx, cnt, height, width)
-        (_zb, winner, frag_depth, uv_u, uv_v, lm_u, lm_v,
-         col_r, col_g, col_b, col_a, genc) = outs
-        has = winner >= 0
-        uv = jnp.stack([uv_u, uv_v], -1)
-        lmuv = jnp.stack([lm_u, lm_v], -1)
-        color = jnp.stack([col_r, col_g, col_b, col_a], -1)
+        vattr = None
     else:
-        winner = _pass1_xla(sx, sy, sz, tri_ok, gx, gy, height, width)
-
-        # ---- pass 2 (xla): one packed per-vertex table + one encoded
-        # per-tri int so the per-pixel lookup is 2 HBM gathers instead of 8
+        # packed per-vertex table: the per-pixel lookup is 2 HBM gathers
+        # instead of 8
         vattr = jnp.concatenate(
             [sx[..., None], sy[..., None], inv_w[..., None], sz[..., None],
              tri["uv"], tri["lmuv"], tri["color"]],
             -1,
         )  # [T, 3, 12]
+
+    def run_pass(exclude, cnt_override=None):
+        """One z-buffer + attribute pass; exclude [H, W] skips a triangle
+        id per pixel. Returns (has, winner, uv, lmuv, color, frag_depth,
+        genc)."""
+        if backend == "pallas":
+            outs = raster_tiles_pallas(
+                tri48, idx, cnt if cnt_override is None else cnt_override,
+                height, width, exclude=exclude,
+            )
+            (_zb, winner, frag_depth, uv_u, uv_v, lm_u, lm_v,
+             col_r, col_g, col_b, col_a, genc) = outs
+            has = winner >= 0
+            uv = jnp.stack([uv_u, uv_v], -1)
+            lmuv = jnp.stack([lm_u, lm_v], -1)
+            color = jnp.stack([col_r, col_g, col_b, col_a], -1)
+            return has, winner, uv, lmuv, color, frag_depth, genc
+
+        winner = _pass1_xla(sx, sy, sz, tri_ok, gx, gy, height, width, exclude=exclude)
         has = winner >= 0
         widx = jnp.clip(winner, 0, None)
         ga = vattr[widx]  # [H, W, 3, 12]
@@ -466,33 +486,68 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=Non
         z_pix = jnp.sum(b * ga[..., 3], -1)
         frag_depth = z_pix * pw  # gl_FragCoord.z / gl_FragCoord.w
         genc = enc[widx]
+        return has, winner, uv, lmuv, color, frag_depth, genc
 
-    tex_id = (genc & 0xFFF) - 1
-    kind = (genc >> 12) & 3
-    shaded = ((genc >> 14) & 1).astype(bool)
-    lod_pix = ((genc >> 15) & 63).astype(jnp.float32) * 0.25 if mipmaps else None
+    def shade_pass(pass_data):
+        has, winner, uv, lmuv, color, frag_depth, genc = pass_data
+        tex_id = (genc & 0xFFF) - 1
+        kind = (genc >> 12) & 3
+        shaded = ((genc >> 14) & 1).astype(bool)
+        lod_pix = ((genc >> 15) & 63).astype(jnp.float32) * 0.25 if mipmaps else None
+        rgb, disc = shade(
+            bundle, state, gx, gy, uv, lmuv, color, tex_id, kind, shaded, frag_depth,
+            lod=lod_pix,
+        )
+        return rgb, disc & has & (kind != KIND_SKY)
 
-    rgb = shade(
-        bundle, state, gx, gy, uv, lmuv, color, tex_id, kind, shaded, frag_depth,
-        lod=lod_pix,
-    )
+    p1 = run_pass(None)
+    has1, win1 = p1[0], p1[1]
+    rgb, disc1 = shade_pass(p1)
+    env = state.env
+    fog_rgb = jnp.clip(env.fog_color[:3] * env.exposure, 0.0, 1.0)
+    if bundle.has_alpha:
+        # ---- screen-door reveal-behind (PARITY #10): re-rasterize with
+        # the discarded winner excluded per pixel; one peel level (a
+        # discarded second layer falls back to fog, like the single-layer
+        # path did everywhere). Tiles with no discarded pixel get a ZERO
+        # loop trip count, so the second kernel pass is near-free on the
+        # typical mostly-opaque frame.
+        ex = jnp.where(disc1, win1, -1)
+        cnt2 = None
+        if backend == "pallas":
+            from c_game_engine_tpu.ops.raster_tiles import TILE_H, TILE_W
+
+            disc_tile = disc1.reshape(
+                height // TILE_H, TILE_H, width // TILE_W, TILE_W
+            ).any((1, 3))
+            cnt2 = jnp.where(disc_tile[..., None, None], cnt, 0)
+        p2 = run_pass(ex, cnt_override=cnt2)
+        rgb2, disc2 = shade_pass(p2)
+        layer2 = jnp.where((p2[0] & ~disc2)[..., None], rgb2, fog_rgb)
+        rgb = jnp.where(disc1[..., None], layer2, rgb)
+    else:
+        rgb = jnp.where(disc1[..., None], fog_rgb, rgb)
     # background (no winner): fog color (the clear color is the fog color in
     # spirit; Vulkan clears to black — use black)
-    rgb = jnp.where(has[..., None], rgb, 0.0)
+    rgb = jnp.where(has1[..., None], rgb, 0.0)
     return jnp.clip(rgb, 0.0, 1.0)
 
 
-def _pass1_xla(sx, sy, sz, tri_ok, gx, gy, height, width):
+def _pass1_xla(sx, sy, sz, tri_ok, gx, gy, height, width, exclude=None):
     """Chunked z-buffer pass over [CHUNK, H, W] edge functions (reference
     path). Tie rule: strictly-closer wins, so the lowest triangle index
-    takes equal-z pixels — same as the Pallas tile kernel's in-order loop."""
+    takes equal-z pixels — same as the Pallas tile kernel's in-order loop.
+    exclude [H, W] i32 skips one triangle id per pixel (-1 = none)."""
     n_chunks = sx.shape[0] // CHUNK
+    if exclude is None:
+        exclude = jnp.full((height, width), -1, jnp.int32)
 
     def pass1(carry, ci):
         zbuf, winner = carry
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, ci * CHUNK, CHUNK, axis=0)
         cx, cy, cz = sl(sx), sl(sy), sl(sz)
         cok = sl(tri_ok)
+        cids = ci * CHUNK + jnp.arange(CHUNK)
         # edge functions at pixel centers: e(p) = (b-a) x (p-a)
         def edges(i, j):
             ax_, ay_ = cx[:, i], cy[:, i]
@@ -515,7 +570,13 @@ def _pass1_xla(sx, sy, sz, tri_ok, gx, gy, height, width):
             + e2 * cz[:, 1, None, None]
             + e0 * cz[:, 2, None, None]
         ) / denom
-        zvalid = inside & cok[:, None, None] & (z > 0.0) & (z < 1.0)
+        zvalid = (
+            inside
+            & cok[:, None, None]
+            & (z > 0.0)
+            & (z < 1.0)
+            & (cids[:, None, None] != exclude[None])
+        )
         z = jnp.where(zvalid, z, jnp.inf)
         best = jnp.argmin(z, axis=0)  # [H, W]
         bz = jnp.take_along_axis(z, best[None], axis=0)[0]
@@ -615,7 +676,9 @@ def _clip_near(clip, tri, near_w=0.01):
 
 def shade(bundle, state, gx, gy, uv, lmuv, color, tex_id, kind, shaded, frag_depth,
           lod=None):
-    """Exact fragment math from the extracted .gshd sources."""
+    """Exact fragment math from the extracted .gshd sources. Returns
+    (rgb, discard): screen-door-discarded pixels are the CALLER's problem
+    (render() reveals the fragment behind via a second pass)."""
     env = state.env
     tex4 = sample(bundle.atlas, tex_id, uv, lod=lod)
 
@@ -654,14 +717,7 @@ def shade(bundle, state, gx, gy, uv, lmuv, color, tex_id, kind, shaded, frag_dep
     # sky: texture * exposure only (sky_f.gshd)
     sky_rgb = jnp.clip(tex4[..., :3] * env.exposure, 0.0, 1.0)
     rgb = jnp.where((kind == KIND_SKY)[..., None], sky_rgb, rgb)
-
-    # screen-door alpha: discarded fragments fall back to fog color
-    # (single-winner buffer; see module docstring)
-    fallback = jnp.clip(env.fog_color[:3] * env.exposure, 0.0, 1.0)
-    rgb = jnp.where(
-        (discard & (kind != KIND_SKY))[..., None], fallback, rgb
-    )
-    return rgb
+    return rgb, discard
 
 
 def render_viewmodel(bundle, state, frame):

@@ -27,14 +27,19 @@ MAX_MIPS = 6  # 1/32 of base resolution — plenty below 256^2 framebuffers
 
 @struct.dataclass
 class TextureAtlas:
-    image: jnp.ndarray  # [AH, AW, 4] f32
+    # GATHER-PACKED atlas: blocked[y, x] holds the 2x2 texel neighborhood
+    # (c00, c10(+x), c01(+y), c11) as 16 channels, with the +1 neighbors
+    # pre-wrapped/clamped per each texture's repeat mode at build time. A
+    # bilinear tap is then ONE [H, W] gather instead of four (TPU gathers
+    # are scalarized; fetch count is the whole cost of texturing).
+    blocked: jnp.ndarray  # [AH, AW, 16] f32
     table: jnp.ndarray  # [T, 6] f32: x0, y0, w, h, repeat, filter
     mips: jnp.ndarray  # [T, MAX_MIPS, 4] f32: x0, y0, w, h per level
     n_mips: jnp.ndarray  # [T] f32 (1 = no chain)
 
     @property
     def size(self):
-        return self.image.shape[1], self.image.shape[0]
+        return self.blocked.shape[1], self.blocked.shape[0]
 
 
 def _downsample(px: np.ndarray) -> np.ndarray:
@@ -84,7 +89,7 @@ def build_atlas(textures: list) -> TextureAtlas:
     while height < y + shelf + 1:
         height *= 2
 
-    img = np.zeros((height, width, 4), np.float32)
+    blocked = np.zeros((height, width, 16), np.float32)
     nt = max(len(textures), 1)
     table = np.zeros((nt, 6), np.float32)
     mips = np.zeros((nt, MAX_MIPS, 4), np.float32)
@@ -95,7 +100,16 @@ def build_atlas(textures: list) -> TextureAtlas:
             px, py = pos[ri]
             ri += 1
             lh, lw = lv.shape[:2]
-            img[py : py + lh, px : px + lw] = lv
+            if t.repeat:
+                xn = (np.arange(lw) + 1) % lw
+                yn = (np.arange(lh) + 1) % lh
+            else:
+                xn = np.minimum(np.arange(lw) + 1, lw - 1)
+                yn = np.minimum(np.arange(lh) + 1, lh - 1)
+            blocked[py : py + lh, px : px + lw, 0:4] = lv
+            blocked[py : py + lh, px : px + lw, 4:8] = lv[:, xn]
+            blocked[py : py + lh, px : px + lw, 8:12] = lv[yn]
+            blocked[py : py + lh, px : px + lw, 12:16] = lv[yn][:, xn]
             mips[i, li] = [px, py, lw, lh]
             if li == 0:
                 table[i] = [px, py, lw, lh, float(t.repeat), float(t.filter)]
@@ -106,7 +120,7 @@ def build_atlas(textures: list) -> TextureAtlas:
     if not textures:
         mips[0, :] = [0, 0, 1, 1]
     return TextureAtlas(
-        image=jnp.asarray(img),
+        blocked=jnp.asarray(blocked),
         table=jnp.asarray(table),
         mips=jnp.asarray(mips),
         n_mips=jnp.asarray(n_mips),
@@ -114,7 +128,12 @@ def build_atlas(textures: list) -> TextureAtlas:
 
 
 def _sample_level(atlas, rect, repeat, bilinear, uv):
-    """Bilinear/nearest fetch within one mip rect [..., 4]."""
+    """Bilinear/nearest fetch within one mip rect: ONE blocked gather.
+
+    Clamp mode pins fx into [0, w-1] before the floor, so border half-texel
+    lookups degenerate to tx=0 and reproduce the old independent-tap clamp
+    values exactly; repeat mode floors first and wraps the block index (the
+    block's +1 channels are pre-wrapped)."""
     x0, y0, w, h = rect[..., 0], rect[..., 1], rect[..., 2], rect[..., 3]
     u = uv[..., 0]
     v = uv[..., 1]
@@ -123,28 +142,31 @@ def _sample_level(atlas, rect, repeat, bilinear, uv):
 
     fx = u * w - 0.5
     fy = v * h - 0.5
+    fx = jnp.where(repeat, fx, jnp.clip(fx, 0.0, jnp.maximum(w - 1.0, 0.0)))
+    fy = jnp.where(repeat, fy, jnp.clip(fy, 0.0, jnp.maximum(h - 1.0, 0.0)))
     ix0 = jnp.floor(fx)
     iy0 = jnp.floor(fy)
     tx = fx - ix0
     ty = fy - iy0
 
-    def fetch(ix, iy):
-        ix = jnp.where(repeat, jnp.mod(ix, jnp.maximum(w, 1)), jnp.clip(ix, 0, w - 1))
-        iy = jnp.where(repeat, jnp.mod(iy, jnp.maximum(h, 1)), jnp.clip(iy, 0, h - 1))
-        xi = (x0 + ix).astype(jnp.int32)
-        yi = (y0 + iy).astype(jnp.int32)
-        return atlas.image[yi, xi]
-
-    c00 = fetch(ix0, iy0)
-    nearest = fetch(jnp.round(fx), jnp.round(fy))
-    c10 = fetch(ix0 + 1, iy0)
-    c01 = fetch(ix0, iy0 + 1)
-    c11 = fetch(ix0 + 1, iy0 + 1)
+    bx = jnp.where(repeat, jnp.mod(ix0, jnp.maximum(w, 1)), ix0)
+    by = jnp.where(repeat, jnp.mod(iy0, jnp.maximum(h, 1)), iy0)
+    xi = (x0 + bx).astype(jnp.int32)
+    yi = (y0 + by).astype(jnp.int32)
+    blk = atlas.blocked[yi, xi]  # [..., 16]
+    c00, c10, c01, c11 = blk[..., 0:4], blk[..., 4:8], blk[..., 8:12], blk[..., 12:16]
     lin = (
         c00 * ((1 - tx) * (1 - ty))[..., None]
         + c10 * (tx * (1 - ty))[..., None]
         + c01 * ((1 - tx) * ty)[..., None]
         + c11 * (tx * ty)[..., None]
+    )
+    near_x = tx > 0.5
+    near_y = ty > 0.5
+    nearest = jnp.where(
+        near_y[..., None],
+        jnp.where(near_x[..., None], c11, c01),
+        jnp.where(near_x[..., None], c10, c00),
     )
     return jnp.where(bilinear[..., None], lin, nearest)
 

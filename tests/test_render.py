@@ -93,7 +93,7 @@ def test_render_bundle_builds(test_map):
 
     rb = build_render_bundle(test_map)
     assert rb.map_pos.shape[0] > 0
-    assert rb.atlas.image.ndim == 3
+    assert rb.atlas.blocked.ndim == 3 and rb.atlas.blocked.shape[-1] == 16
     assert int(rb.sky_tex) >= 0  # test.json has a sky
     assert rb.mdl_pos.shape[0] > 0  # leafy etc.
 
