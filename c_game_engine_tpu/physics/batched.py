@@ -633,40 +633,64 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
 
 
     def _pair_gen(_):
-        gA2 = lambda a: jnp.take_along_axis(a, p_d, axis=0)  # [D, B] -> [P, B]
-        gB2 = lambda a: jnp.take_along_axis(a, p_n, axis=0)  # [N, B] -> [P, B]
-        pA_cx, pA_cy, pA_cz = gA2(ccx0), gA2(ccy0), gA2(ccz0)
-        pA_qx, pA_qy, pA_qz, pA_qw = gA2(dqx), gA2(dqy), gA2(dqz), gA2(dqw)
-        pB_cx, pB_cy, pB_cz = gB2(o_cx), gB2(o_cy), gB2(o_cz)
-        pB_qx, pB_qy, pB_qz, pB_qw = gB2(oqx), gB2(oqy), gB2(oqz), gB2(oqw)
-        hax, hay, haz = (cmap.halfext[:, k][a_act] for k in range(3))
-        hbx, hby, hbz = (cmap.halfext[:, k][p_n] for k in range(3))
-        a_invm = cmap.inv_mass[a_act]
-        b_invm = gB2(o_inv_m)
-        a_iIx, a_iIy, a_iIz = (cmap.inv_inertia[:, k][a_act] for k in range(3))
-        b_iIx, b_iIy, b_iIz = (cmap.inv_inertia[:, k][p_n] for k in range(3))
+        # PACKED gathers: TPU gathers are scalarized, so the ~30 separate
+        # per-pair lookups this block used to make were most of the
+        # generation cost. One static per-actor row gather per side + one
+        # dynamic per-(actor, env) row gather + one dyn-lane row gather
+        # replace them; vert clouds ride along in the static rows.
+        use_hulls_pair = not cmap.aux["hulls_are_boxes"]
+        stat_cols = [
+            cmap.halfext,  # 0:3
+            cmap.inv_mass[:, None],  # 3
+            cmap.inv_inertia,  # 4:7
+            cmap.friction[:, None],  # 7
+        ]
+        if use_hulls_pair:
+            stat_cols.append(cmap.hull_verts.reshape(n, -1))  # 8:8+3V
+        stat = jnp.concatenate(stat_cols, axis=1)  # [N, F]
+        sa = stat[a_act]  # [P, B, F]
+        sb = stat[p_n]
+        hax, hay, haz = sa[..., 0], sa[..., 1], sa[..., 2]
+        hbx, hby, hbz = sb[..., 0], sb[..., 1], sb[..., 2]
+        a_invm = sa[..., 3]
+        a_iIx, a_iIy, a_iIz = sa[..., 4], sa[..., 5], sa[..., 6]
+        b_iIx, b_iIy, b_iIz = sb[..., 4], sb[..., 5], sb[..., 6]
+        a_mu_p = jnp.sqrt(sa[..., 7] * sb[..., 7])  # geometric mean
+        dynB = jnp.stack(
+            [o_cx, o_cy, o_cz, oqx, oqy, oqz, oqw, ovx, ovy, ovz, o_inv_m], -1
+        )  # [N, B, 11]
+        db = jnp.take_along_axis(dynB, p_n[:, :, None], axis=0)  # [P, B, 11]
+        pB_cx, pB_cy, pB_cz = db[..., 0], db[..., 1], db[..., 2]
+        pB_qx, pB_qy, pB_qz, pB_qw = db[..., 3], db[..., 4], db[..., 5], db[..., 6]
+        b_invm = db[..., 10]
+        dynA = jnp.stack([ccx0, ccy0, ccz0, dqx, dqy, dqz, dqw], -1)  # [D, B, 7]
+        da = jnp.take_along_axis(dynA, p_d[:, :, None], axis=0)
+        pA_cx, pA_cy, pA_cz = da[..., 0], da[..., 1], da[..., 2]
+        pA_qx, pA_qy, pA_qz, pA_qw = da[..., 3], da[..., 4], da[..., 5], da[..., 6]
         b_dyn = (a2d[p_n] >= 0) & pr_on
         b_dl = jnp.clip(a2d[p_n], 0, D - 1)
         b_dynf = b_dyn.astype(jnp.float32)
         b_iIx, b_iIy, b_iIz = b_iIx * b_dynf, b_iIy * b_dynf, b_iIz * b_dynf
         # kinematic/static B-side velocity contribution (doors push boxes)
-        vkBx = gB2(ovx) * (1.0 - b_dynf)
-        vkBy = gB2(ovy) * (1.0 - b_dynf)
-        vkBz = gB2(ovz) * (1.0 - b_dynf)
+        vkBx = db[..., 7] * (1.0 - b_dynf)
+        vkBy = db[..., 8] * (1.0 - b_dynf)
+        vkBz = db[..., 9] * (1.0 - b_dynf)
         tx_p = pA_cx - pB_cx
         ty_p = pA_cy - pB_cy
         tz_p = pA_cz - pB_cz
 
         # per-side support vert clouds [P, NV, B] (boxes synthesize their 8
         # signed corners from halfext — no gathers, exact)
-        use_hulls_pair = not cmap.aux["hulls_are_boxes"]
         if use_hulls_pair:
-            vA_x = cmap.hull_verts[:, :, 0][a_act].transpose(0, 2, 1)  # [P, NV, B]
-            vA_y = cmap.hull_verts[:, :, 1][a_act].transpose(0, 2, 1)
-            vA_z = cmap.hull_verts[:, :, 2][a_act].transpose(0, 2, 1)
-            vB_x = cmap.hull_verts[:, :, 0][p_n].transpose(0, 2, 1)
-            vB_y = cmap.hull_verts[:, :, 1][p_n].transpose(0, 2, 1)
-            vB_z = cmap.hull_verts[:, :, 2][p_n].transpose(0, 2, 1)
+            v_cnt = cmap.hull_verts.shape[1]
+            hvA = sa[..., 8 : 8 + 3 * v_cnt].reshape(*sa.shape[:2], v_cnt, 3)
+            hvB = sb[..., 8 : 8 + 3 * v_cnt].reshape(*sb.shape[:2], v_cnt, 3)
+            vA_x = hvA[..., 0].transpose(0, 2, 1)  # [P, NV, B]
+            vA_y = hvA[..., 1].transpose(0, 2, 1)
+            vA_z = hvA[..., 2].transpose(0, 2, 1)
+            vB_x = hvB[..., 0].transpose(0, 2, 1)
+            vB_y = hvB[..., 1].transpose(0, 2, 1)
+            vB_z = hvB[..., 2].transpose(0, 2, 1)
         else:
             import numpy as np
 
@@ -683,54 +707,71 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
             vA_x, vA_y, vA_z = (s_of(k_) * h_[:, None, :] for k_, h_ in enumerate((hax, hay, haz)))
             vB_x, vB_y, vB_z = (s_of(k_) * h_[:, None, :] for k_, h_ in enumerate((hbx, hby, hbz)))
         NV = vA_x.shape[1]
-        def _sup_pm(qx_, qy_, qz_, qw_, vx_, vy_, vz_, ax_, ay_, az_):
-            """(support along +a, support along -a) of a vert cloud [P, NV, B],
-            world axis a [P, B], measured from the cloud's center."""
-            lx_, ly_, lz_ = g.quat_rotate_inv_soa(qx_, qy_, qz_, qw_, ax_, ay_, az_)
-            d_ = vx_ * lx_[:, None, :] + vy_ * ly_[:, None, :] + vz_ * lz_[:, None, :]
-            return jnp.max(d_, axis=1), jnp.max(-d_, axis=1)
 
-        # ---- SAT axes ----
-        onep = jnp.ones_like(tx_p)
-        zerop = jnp.zeros_like(tx_p)
-        axesA = [
-            g.quat_rotate_soa(pA_qx, pA_qy, pA_qz, pA_qw, onep, zerop, zerop),
-            g.quat_rotate_soa(pA_qx, pA_qy, pA_qz, pA_qw, zerop, onep, zerop),
-            g.quat_rotate_soa(pA_qx, pA_qy, pA_qz, pA_qw, zerop, zerop, onep),
-        ]
-        axesB = [
-            g.quat_rotate_soa(pB_qx, pB_qy, pB_qz, pB_qw, onep, zerop, zerop),
-            g.quat_rotate_soa(pB_qx, pB_qy, pB_qz, pB_qw, zerop, onep, zerop),
-            g.quat_rotate_soa(pB_qx, pB_qy, pB_qz, pB_qw, zerop, zerop, onep),
-        ]
-        axes = [(a_, False) for a_ in axesA + axesB]
+        # ---- SAT: all 16 axes in one [P, 16, B] batch (3+3 face axes, 9
+        # edge crosses, center axis). The per-axis Python loop was ~2000
+        # tiny [P, B] ops — dispatch-bound on TPU. ----
+        def rot_rows(qx_, qy_, qz_, qw_):
+            xx, yy, zz = qx_ * qx_, qy_ * qy_, qz_ * qz_
+            xy, xz, yz = qx_ * qy_, qx_ * qz_, qy_ * qz_
+            wx, wy, wz = qw_ * qx_, qw_ * qy_, qw_ * qz_
+            return (
+                (1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)),
+                (2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)),
+                (2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)),
+            )
+
+        RA = rot_rows(pA_qx, pA_qy, pA_qz, pA_qw)
+        RB = rot_rows(pB_qx, pB_qy, pB_qz, pB_qw)
+        axA = [(RA[0][c], RA[1][c], RA[2][c]) for c in range(3)]  # world cols
+        axB = [(RB[0][c], RB[1][c], RB[2][c]) for c in range(3)]
+        ax_list = axA + axB
         for ia in range(3):
             for ib in range(3):
-                axes.append((g.cross3(*axesA[ia], *axesB[ib]), True))
-        axes.append(((tx_p, ty_p, tz_p), True))  # center axis (round hulls)
+                ax_list.append(g.cross3(*axA[ia], *axB[ib]))
+        ax_list.append((tx_p, ty_p, tz_p))  # center axis (round hulls)
+        AXS = jnp.stack([a_[0] for a_ in ax_list], 1)  # [P, 16, B]
+        AYS = jnp.stack([a_[1] for a_ in ax_list], 1)
+        AZS = jnp.stack([a_[2] for a_ in ax_list], 1)
+        len2 = AXS * AXS + AYS * AYS + AZS * AZS
+        axis_ok = len2 > 1e-12
+        inv_l = jax.lax.rsqrt(jnp.maximum(len2, 1e-12))
+        AXS, AYS, AZS = AXS * inv_l, AYS * inv_l, AZS * inv_l
 
-        sat_d = jnp.full_like(tx_p, jnp.inf)
-        pn2_x, pn2_y, pn2_z = zerop, onep, zerop
-        for (ax_, ay_, az_), needs_norm in axes:
-            if needs_norm:
-                len2 = ax_ * ax_ + ay_ * ay_ + az_ * az_
-                axis_ok = len2 > 1e-12
-                inv_l = jax.lax.rsqrt(jnp.maximum(len2, 1e-12))
-                ax_, ay_, az_ = ax_ * inv_l, ay_ * inv_l, az_ * inv_l
-            supAp, supAm = _sup_pm(pA_qx, pA_qy, pA_qz, pA_qw, vA_x, vA_y, vA_z, ax_, ay_, az_)
-            supBp, supBm = _sup_pm(pB_qx, pB_qy, pB_qz, pB_qw, vB_x, vB_y, vB_z, ax_, ay_, az_)
-            tdot = tx_p * ax_ + ty_p * ay_ + tz_p * az_
-            pen_p = supBp + supAm - tdot  # A toward +a side of B
-            pen_m = supBm + supAp + tdot
-            d_ax = jnp.minimum(pen_p, pen_m)
-            if needs_norm:
-                d_ax = jnp.where(axis_ok, d_ax, jnp.inf)
-            sgn = jnp.where(pen_p <= pen_m, 1.0, -1.0)
-            upd = d_ax < sat_d
-            sat_d = jnp.where(upd, d_ax, sat_d)
-            pn2_x = jnp.where(upd, ax_ * sgn, pn2_x)
-            pn2_y = jnp.where(upd, ay_ * sgn, pn2_y)
-            pn2_z = jnp.where(upd, az_ * sgn, pn2_z)
+        e5q = lambda q: q[:, None, :]  # [P, B] -> [P, 1, B]
+        # axes in each body's local frame (R^T a)
+        lAX = e5q(RA[0][0]) * AXS + e5q(RA[1][0]) * AYS + e5q(RA[2][0]) * AZS
+        lAY = e5q(RA[0][1]) * AXS + e5q(RA[1][1]) * AYS + e5q(RA[2][1]) * AZS
+        lAZ = e5q(RA[0][2]) * AXS + e5q(RA[1][2]) * AYS + e5q(RA[2][2]) * AZS
+        lBX = e5q(RB[0][0]) * AXS + e5q(RB[1][0]) * AYS + e5q(RB[2][0]) * AZS
+        lBY = e5q(RB[0][1]) * AXS + e5q(RB[1][1]) * AYS + e5q(RB[2][1]) * AZS
+        lBZ = e5q(RB[0][2]) * AXS + e5q(RB[1][2]) * AYS + e5q(RB[2][2]) * AZS
+        supAp = supAm = supBp = supBm = None
+        for v in range(NV):
+            sA = (
+                e5q(vA_x[:, v]) * lAX + e5q(vA_y[:, v]) * lAY + e5q(vA_z[:, v]) * lAZ
+            )
+            sB = (
+                e5q(vB_x[:, v]) * lBX + e5q(vB_y[:, v]) * lBY + e5q(vB_z[:, v]) * lBZ
+            )
+            if supAp is None:
+                supAp, supAm, supBp, supBm = sA, -sA, sB, -sB
+            else:
+                supAp = jnp.maximum(supAp, sA)
+                supAm = jnp.maximum(supAm, -sA)
+                supBp = jnp.maximum(supBp, sB)
+                supBm = jnp.maximum(supBm, -sB)
+        tdot = e5q(tx_p) * AXS + e5q(ty_p) * AYS + e5q(tz_p) * AZS
+        pen_p = supBp + supAm - tdot  # A toward +a side of B
+        pen_m = supBm + supAp + tdot
+        d_ax = jnp.where(axis_ok, jnp.minimum(pen_p, pen_m), jnp.inf)
+        best_ax = jnp.argmin(d_ax, axis=1)[:, None, :]  # [P, 1, B]
+        tk_ax = lambda a_: jnp.take_along_axis(a_, best_ax, 1)[:, 0, :]
+        sat_d = tk_ax(d_ax)
+        sgn = jnp.where(tk_ax(pen_p) <= tk_ax(pen_m), 1.0, -1.0)
+        pn2_x = tk_ax(AXS) * sgn
+        pn2_y = tk_ax(AYS) * sgn
+        pn2_z = tk_ax(AZS) * sgn
 
         # ---- manifold candidates along the SAT normal (n points B -> A) ----
         lAx, lAy, lAz = g.quat_rotate_inv_soa(pA_qx, pA_qy, pA_qz, pA_qw, pn2_x, pn2_y, pn2_z)
