@@ -239,3 +239,41 @@ def decode_gfon(path: str | Path, texture_width: int | None = None) -> Font:
         space_width, default_size, uppercase_only, "".join(chars), widths,
         start_uvs, end_uvs,
     )
+
+
+@dataclass
+class Sound:
+    """Decoded PCM audio from a .gsnd asset.
+
+    The payload is a whole WAV file (ASSET_TYPE_WAV; the reference hands the
+    bytes to SDL3_mixer via MIX_LoadAudio_IO, SoundSystem.c:293-318). We
+    decode PCM16/PCM8 WAV to float32 stereo."""
+
+    pcm: np.ndarray  # [frames, 2] f32 in [-1, 1]
+    rate: int
+
+
+def decode_gsnd(path: str | Path) -> Sound:
+    import io
+    import wave
+
+    asset = read_asset(path)
+    if asset.type != AssetType.WAV:
+        raise PayloadError(f"{path}: not a sound asset")
+    w = wave.open(io.BytesIO(asset.data))
+    n = w.getnframes()
+    raw = w.readframes(n)
+    width = w.getsampwidth()
+    ch = w.getnchannels()
+    if width == 2:
+        pcm = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif width == 1:
+        pcm = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise PayloadError(f"{path}: unsupported WAV sample width {width}")
+    pcm = pcm.reshape(n, ch)
+    if ch == 1:
+        pcm = np.repeat(pcm, 2, axis=1)
+    elif ch > 2:
+        pcm = pcm[:, :2]
+    return Sound(pcm=np.ascontiguousarray(pcm), rate=w.getframerate())

@@ -161,10 +161,19 @@ def build_logic_decimal(ir, ctx):
 
 
 def build_sound_player(ir, ctx):
-    # SoundPlayer.c:50-121 — audio itself is out of scope on TPU; we keep the
-    # play/pause/resume/stop state machine + play-event counters observable.
+    # SoundPlayer.c:86-103 SoundPlayerInit: sound (SOUND("%s") prefix),
+    # loops, volume, preload (a host streaming concern — N/A here),
+    # category byte (default SFX=1 in our id space; the reference enum is
+    # MUSIC/SFX/UI = 0/1/2, SoundSystem.h), positional.
     r = _base(ir, ActorClass.SOUND_PLAYER)
     r.idata[0] = 1 if kv.get_bool(ir.params, "autoplay", False) else 0
+    r.idata[1] = -1  # live channel handle (SoundChannel* equivalent)
+    sound = kv.get_string(ir.params, "sound", "sfx/click")
+    r.si[0] = ctx.sound_id(f"sound/{sound}.gsnd")
+    r.si[1] = kv.get_byte(ir.params, "category", 1)
+    r.si[2] = kv.get_int(ir.params, "loops", 0)
+    r.si[3] = 1 if kv.get_bool(ir.params, "positional", False) else 0
+    r.sf[0] = kv.get_float(ir.params, "volume", 1.0)
     return r
 
 

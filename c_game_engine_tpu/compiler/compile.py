@@ -43,10 +43,33 @@ def _round_up(n: int, m: int) -> int:
     return max(((n + m - 1) // m) * m, m)
 
 
+def _sound_lengths(resolver, names) -> np.ndarray:
+    """Per-sound resampled frame counts for CompiledMap.sound_len (the
+    jitted tick's loop/finish bookkeeping; PCM itself stays host-side in
+    audio/bank.py's SoundBank). Must match build_sound_bank's layout."""
+    from c_game_engine_tpu.audio.bank import MIX_RATE
+    from c_game_engine_tpu.assets.codecs import decode_gsnd
+
+    out = []
+    for nm in names:
+        path = resolver.resolve(nm)
+        if path is None:
+            out.append(1)
+            continue
+        snd = decode_gsnd(path)
+        n = snd.pcm.shape[0]
+        out.append(max(int(round(n * MIX_RATE / snd.rate)), 1) if snd.rate != MIX_RATE else n)
+    return np.array(out or [1], np.int32)
+
+
 class _Ctx:
     def __init__(self, resolver: AssetResolver):
+        from c_game_engine_tpu.audio.bank import BUILTIN_SOUNDS
+
         self.resolver = resolver
         self.texture_ids: dict[str, int] = {}
+        # builtins first so Coin.c's coincling / UI clicks always have ids
+        self.sound_ids: dict[str, int] = {n: i for i, n in enumerate(BUILTIN_SOUNDS)}
 
     def texture_id(self, name: str | None) -> int:
         if not name:
@@ -54,6 +77,15 @@ class _Ctx:
         if name not in self.texture_ids:
             self.texture_ids[name] = len(self.texture_ids)
         return self.texture_ids[name]
+
+    def sound_id(self, name: str | None) -> int:
+        """Intern a sound asset path (SoundPlayer SOUND("%s") prefixing is
+        the caller's job) into the map's SoundBank id space."""
+        if not name:
+            return -1
+        if name not in self.sound_ids:
+            self.sound_ids[name] = len(self.sound_ids)
+        return self.sound_ids[name]
 
 
 def _pack_param(p: Param) -> tuple[int, np.ndarray, int]:
@@ -440,6 +472,7 @@ def compile_map(
         "actor_names": [r.name for r in rows],
         "actor_classes": [ActorClass(r.cls).name for r in rows],
         "texture_names": list(ctx.texture_ids.keys()),
+        "sound_names": list(ctx.sound_ids.keys()),
         "model_names": sorted({r.model for r in rows if r.model}),
         "num_real_actors": n_real,
         "num_real_tris": t_real,
@@ -525,6 +558,7 @@ def compile_map(
         default_fog_start=jnp.asarray(np.float32(2000.0)),
         default_fog_end=jnp.asarray(np.float32(2500.0)),
         default_exposure=jnp.asarray(np.float32(1.0)),
+        sound_len=jnp.asarray(_sound_lengths(resolver, list(ctx.sound_ids.keys()))),
         map_verts=jnp.asarray(map_verts),
         map_indices=jnp.asarray(map_indices),
         map_vert_tex=jnp.asarray(map_vert_tex),

@@ -118,6 +118,9 @@ class CompiledMap:
     default_fog_end: jnp.ndarray  # []
     default_exposure: jnp.ndarray  # []
 
+    # --- audio (SoundBank id space; PCM lives in audio/bank.py) ---
+    sound_len: jnp.ndarray  # [NS] i32 resampled frame count per sound
+
     # --- render geometry (filled by the render compiler; may be empty) ---
     map_verts: jnp.ndarray  # [V, 7] pos/uv/lightmapUv
     map_indices: jnp.ndarray  # [I] i32
@@ -224,6 +227,7 @@ class EnvState:
     sensor_inside: jnp.ndarray  # [S] bool — player overlap last tick
     camera_actor: jnp.ndarray  # [] i32 (-1 = player camera)
     sound_plays: jnp.ndarray  # [] i32 — cumulative play events (SoundSystem observable)
+    audio: Any  # AudioState — 32-channel table (audio/mixer.py)
     tick: jnp.ndarray  # [] i32
 
 
@@ -314,5 +318,12 @@ def reset(cmap: CompiledMap) -> EnvState:
         sensor_inside=jnp.zeros((cmap.num_sensors,), bool),
         camera_actor=jnp.array(-1, jnp.int32),
         sound_plays=jnp.zeros((), jnp.int32),
+        audio=_empty_audio(),
         tick=jnp.zeros((), jnp.int32),
     )
+
+
+def _empty_audio():
+    from c_game_engine_tpu.audio.mixer import empty_audio
+
+    return empty_audio()

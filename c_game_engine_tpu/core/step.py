@@ -424,6 +424,23 @@ def step_batch(cmap, state: EnvState, actions: Actions) -> EnvState:
         )
     )
 
+    # --------------------------------- audio channel bookkeeping (one tick)
+    from c_game_engine_tpu.audio.mixer import tick_advance
+
+    def _advance_audio(audio, handles):
+        audio, fin = tick_advance(audio, cmap.sound_len)
+        # finished channels null the owning actor's handle
+        # (SoundPlayerSoundDone: data->effect = NULL)
+        nch = audio.snd.shape[0]
+        hit = (handles[:, None] == jnp.arange(nch, dtype=jnp.int32)[None, :]) & fin[None, :]
+        return audio, jnp.where(jnp.any(hit, axis=1), -1, handles)
+
+    audio, handles = jax.vmap(_advance_audio)(state.audio, state.actors.idata[:, :, 1])
+    state = state.replace(
+        audio=audio,
+        actors=state.actors.replace(idata=state.actors.idata.at[:, :, 1].set(handles)),
+    )
+
     # ------------------------------------------- save clamps (MapUpdate)
     save = state.save.replace(
         coins=jnp.minimum(state.save.coins, 9999),

@@ -73,6 +73,14 @@ class GameApp:
         self.splash_tick = 0
         self._options_in_game = False  # optionsStateInGame (OptionsState.c:30)
         self._ui = {}  # Screen -> (stackdef, event names, UiState)
+        # host-side UI/system sound channels (SoundSystem parity for the
+        # app layer: Button.c:55 click, MainState.c:47 popup,
+        # PauseState.c:36 popdown, LogoSplashState.c:26 coincling)
+        from c_game_engine_tpu.audio.mixer import empty_audio
+
+        self.ui_audio = empty_audio()
+        self._ui_lengths = None
+        self._ui_bank = None
         if initial_map:
             # --map flag: straight into loading (GameMain.c:14-39)
             self.load_level(initial_map)
@@ -116,10 +124,12 @@ class GameApp:
 
     def pause(self):
         assert self.screen == Screen.IN_GAME
+        self._play_ui("popup")  # MainState.c:47
         self.screen = Screen.PAUSED
 
     def resume(self):
         assert self.screen == Screen.PAUSED
+        self._play_ui("popdown")  # PauseState.c:36
         self.screen = Screen.IN_GAME
 
     def quit_to_menu(self):
@@ -214,10 +224,15 @@ class GameApp:
             inp = UiInput.none()
         esc = bool(inp.escape)
         scr = self.screen
+        self._advance_ui_audio()
 
         if scr == Screen.LOGO_SPLASH:
             # LogoSplashState: any key (or 100 ticks) -> menu
             self.splash_tick += 1
+            if self.splash_tick == 20:
+                from c_game_engine_tpu.audio.mixer import CATEGORY_SFX
+
+                self._play_ui("coincling", CATEGORY_SFX)  # LogoSplashState.c:24-27
             if self.splash_tick > 100 or esc or bool(inp.space) or bool(inp.enter):
                 self._set_screen(Screen.MENU)
             return []
@@ -270,7 +285,65 @@ class GameApp:
         """BtnOptionsBack (OptionsState.c:32-42)."""
         self._set_screen(Screen.PAUSED if self._options_in_game else Screen.MENU)
 
+    # ---- host-side UI audio ---------------------------------------------
+    # index into audio.bank.BUILTIN_SOUNDS
+    _UI_SOUND_IDS = {"click": 0, "popup": 1, "popdown": 2, "coincling": 3}
+
+    def _play_ui(self, name: str, category: int | None = None):
+        import jax.numpy as jnp
+
+        from c_game_engine_tpu.audio.mixer import CATEGORY_UI, alloc_channels
+
+        sid = self._UI_SOUND_IDS[name]
+        cat = CATEGORY_UI if category is None else category
+        self.ui_audio, _ = alloc_channels(
+            self.ui_audio,
+            jnp.asarray([True]),
+            jnp.asarray([sid], jnp.int32),
+            jnp.ones(1, jnp.float32),
+            jnp.asarray([cat], jnp.int32),
+            jnp.zeros(1, jnp.int32),
+            jnp.zeros(1, bool),
+            jnp.zeros((1, 3), jnp.float32),
+        )
+
+    def _advance_ui_audio(self):
+        import jax.numpy as jnp
+
+        from c_game_engine_tpu.audio.mixer import tick_advance
+
+        if self._ui_lengths is None:
+            from c_game_engine_tpu.audio.bank import BUILTIN_SOUNDS
+            from c_game_engine_tpu.compiler.compile import _sound_lengths
+            from c_game_engine_tpu.compiler.models import AssetResolver
+
+            self._ui_lengths = jnp.asarray(
+                _sound_lengths(AssetResolver(), BUILTIN_SOUNDS)
+            )
+        self.ui_audio, _ = tick_advance(self.ui_audio, self._ui_lengths)
+
+    def mix_ui_audio(self, n_samples: int):
+        """Render the app-layer sounds as [n, 2] f32 (host demo output)."""
+        import jax.numpy as jnp
+
+        from c_game_engine_tpu.audio.bank import BUILTIN_SOUNDS, build_sound_bank
+        from c_game_engine_tpu.audio.mixer import mix_frame
+        from c_game_engine_tpu.compiler.models import AssetResolver
+
+        if self._ui_bank is None:
+            self._ui_bank = build_sound_bank(AssetResolver(), BUILTIN_SOUNDS)
+        o = self.options
+        vols = jnp.asarray(
+            [o.master_volume, o.music_volume, o.sfx_volume, o.ui_volume],
+            jnp.float32,
+        )
+        return mix_frame(
+            self._ui_bank, self.ui_audio, jnp.zeros(3),
+            jnp.asarray([0.0, 0.0, 0.0, 1.0]), vols, n_samples,
+        )
+
     def _dispatch(self, screen: Screen, ev: str):
+        self._play_ui("click")  # uiStack control activation (Button.c:55)
         if screen == Screen.MENU:
             if ev == "start":
                 self.open_level_select()

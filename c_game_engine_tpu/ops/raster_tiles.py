@@ -7,13 +7,17 @@ tiles; an XLA-side binning pass (bin_triangles) hands every tile a
 compacted index list of the triangles whose screen bbox overlaps it, and
 the kernel runs two dynamic-trip loops over that list:
 
-  loop 1: edge functions + affine z -> winner list-position per pixel
-          (registers only)
-  loop 2: re-visit the list; where a triangle owns pixels, emit its
-          perspective-corrected attributes (uv, lightmap uv, color,
-          frag depth, encoded tex/kind/shaded) with formulas written
+  one fused loop: edge functions + affine z -> strictly-closer z test;
+          where a triangle improves any pixel, a lax.cond-gated branch
+          interpolates its perspective-corrected attributes (uv,
+          lightmap uv, color, frag depth, encoded tex/kind/shaded) and
+          selects them under the closer mask. Formulas are written
           identically to the XLA pass-2 (render/raster.py), so both
-          backends shade the same image.
+          backends shade the same image; the last strictly-closer
+          triangle's attributes survive = the z-winner's (same result
+          as a separate winner pass). Fully-occluded or off-tile
+          triangles skip the attribute math and its ~28 scalar reads
+          entirely.
 
 Triangle data stays in one VMEM-resident table [T, 48] (f32; lane-padded
 to 128 regardless of the column count, so 48 columns cost the same VMEM
@@ -81,65 +85,60 @@ def _kernel(
         e2 = (ax - cx) * (gy - cy) - (ay - cy) * (gx - cx)
         return e0, e1, e2
 
-    # ---- loop 1: z winner (list position) ----
+    # ---- fused z + attribute loop ----
     def body(j, carry):
-        zbuf, win = carry
+        zbuf, outs = carry
         i = idx_ref[0, 0, j, 0]
         c = lambda k: tri_ref[i, k]
         e0, e1, e2 = edges(c(0), c(1), c(2), c(3), c(4), c(5))
         inside = ((e0 <= 0) & (e1 <= 0) & (e2 <= 0)) | ((e0 >= 0) & (e1 >= 0) & (e2 >= 0))
         denom = e0 + e1 + e2
         denom = jnp.where(jnp.abs(denom) > 1e-9, denom, 1e-9)
-        z = (e1 * c(6) + e2 * c(7) + e0 * c(8)) / denom
-        ti = c(9).astype(jnp.int32)
-        closer = inside & (z > 0.0) & (z < 1.0) & (z < zbuf) & (ti != excl)
+        z0, z1, z2 = c(6), c(7), c(8)
+        z = (e1 * z0 + e2 * z1 + e0 * z2) / denom
+        ti = c(9)
+        closer = inside & (z > 0.0) & (z < 1.0) & (z < zbuf) & (ti.astype(jnp.int32) != excl)
         zbuf = jnp.where(closer, z, zbuf)
-        win = jnp.where(closer, j, win)
-        return zbuf, win
+
+        # attribute math (formulas identical to the XLA pass 2 in
+        # render/raster.py so both backends round the same way) only runs
+        # when this triangle actually improved a pixel
+        def attr(outs):
+            tid, fd, u, v, lu, lv, cr, cg, cb, ca, enc = outs
+            b0, b1, b2 = e1 / denom, e2 / denom, e0 / denom
+            iw0, iw1, iw2 = c(10), c(11), c(12)
+            iw = b0 * iw0 + b1 * iw1 + b2 * iw2
+            pw = 1.0 / jnp.maximum(iw, 1e-12)
+            bw0, bw1, bw2 = b0 * iw0, b1 * iw1, b2 * iw2
+
+            def interp(k0):
+                return (bw0 * c(k0) + bw1 * c(k0 + 2) + bw2 * c(k0 + 4)) * pw
+
+            def interp4(k0):
+                return (bw0 * c(k0) + bw1 * c(k0 + 4) + bw2 * c(k0 + 8)) * pw
+
+            sel = lambda a, b_: jnp.where(closer, a, b_)
+            tid = sel(ti, tid)
+            fd = sel((b0 * z0 + b1 * z1 + b2 * z2) * pw, fd)
+            u = sel(interp(13), u)
+            v = sel(interp(14), v)
+            lu = sel(interp(19), lu)
+            lv = sel(interp(20), lv)
+            cr = sel(interp4(25), cr)
+            cg = sel(interp4(26), cg)
+            cb = sel(interp4(27), cb)
+            ca = sel(interp4(28), ca)
+            enc = sel(c(37), enc)
+            return tid, fd, u, v, lu, lv, cr, cg, cb, ca, enc
+
+        outs = jax.lax.cond(jnp.any(closer), attr, lambda o: o, outs)
+        return zbuf, outs
 
     z0buf = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
-    w0 = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
-    zbuf, win = jax.lax.fori_loop(0, cnt, body, (z0buf, w0))
-
-    # ---- loop 2: attributes of the winner (formulas identical to the XLA
-    # pass 2 in render/raster.py so both backends round the same way) ----
-    def body2(j, outs):
-        tid, fd, u, v, lu, lv, cr, cg, cb, ca, enc = outs
-        m = win == j
-        i = idx_ref[0, 0, j, 0]
-        c = lambda k: tri_ref[i, k]
-        e0, e1, e2 = edges(c(0), c(1), c(2), c(3), c(4), c(5))
-        denom = e0 + e1 + e2
-        denom = jnp.where(jnp.abs(denom) > 1e-9, denom, 1e-9)
-        b0, b1, b2 = e1 / denom, e2 / denom, e0 / denom
-        iw0, iw1, iw2 = c(10), c(11), c(12)
-        iw = b0 * iw0 + b1 * iw1 + b2 * iw2
-        pw = 1.0 / jnp.maximum(iw, 1e-12)
-        bw0, bw1, bw2 = b0 * iw0, b1 * iw1, b2 * iw2
-
-        def interp(k0):
-            return (bw0 * c(k0) + bw1 * c(k0 + 2) + bw2 * c(k0 + 4)) * pw
-
-        def interp4(k0):
-            return (bw0 * c(k0) + bw1 * c(k0 + 4) + bw2 * c(k0 + 8)) * pw
-
-        sel = lambda a, b_: jnp.where(m, a, b_)
-        tid = sel(c(9), tid)
-        fd = sel((b0 * c(6) + b1 * c(7) + b2 * c(8)) * pw, fd)
-        u = sel(interp(13), u)
-        v = sel(interp(14), v)
-        lu = sel(interp(19), lu)
-        lv = sel(interp(20), lv)
-        cr = sel(interp4(25), cr)
-        cg = sel(interp4(26), cg)
-        cb = sel(interp4(27), cb)
-        ca = sel(interp4(28), ca)
-        enc = sel(c(37), enc)
-        return tid, fd, u, v, lu, lv, cr, cg, cb, ca, enc
-
     zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     outs0 = (zero - 1.0, zero, zero, zero, zero, zero, zero, zero, zero, zero, zero)
-    tid, fd, u, v, lu, lv, cr, cg, cb, ca, enc = jax.lax.fori_loop(0, cnt, body2, outs0)
+    zbuf, outs = jax.lax.fori_loop(0, cnt, body, (z0buf, outs0))
+    tid, fd, u, v, lu, lv, cr, cg, cb, ca, enc = outs
 
     z_ref[...] = zbuf
     win_ref[...] = tid.astype(jnp.int32)

@@ -248,8 +248,10 @@ def _resolve_backend(backend, height, width, bundle=None):
 
 
 def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=None,
-           mipmaps=True, ssaa=1):
+           mipmaps=True, ssaa=1, debug_wireframe=False):
     """Render one env's view. Returns f32 [H, W, 3] in [0, 1].
+    debug_wireframe=True overlays depth-tested collision wireframes
+    (JoltDebugRendererDrawBodies counterpart; render/debug_draw.py).
     mipmaps=False samples base levels only (Options.mipmaps off,
     Options.h:37-84). ssaa=N renders at N x the resolution and box-filters
     down — the software counterpart of Options.msaa (true MSAA's
@@ -266,12 +268,23 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=Non
     if ssaa > 1:
         big = render(
             bundle, cmap, state, height * ssaa, width * ssaa, fov_deg, backend,
-            mipmaps=mipmaps, ssaa=1,
+            mipmaps=mipmaps, ssaa=1, debug_wireframe=debug_wireframe,
         )
         return big.reshape(height, ssaa, width, ssaa, 3).mean((1, 3))
     backend = _resolve_backend(backend, height, width, bundle)
     vp, cam_pos = camera_matrix(cmap, state, width, height, fov_deg)
     parts = gather_triangles(bundle, cmap, state, camera_pos_hint=cam_pos)
+    extra_live = 0
+    if debug_wireframe:
+        from c_game_engine_tpu.render.debug_draw import (
+            collect_segments,
+            segments_to_part,
+        )
+
+        segs, cols, dvalid = collect_segments(cmap, state)
+        dbg_part = segments_to_part(segs, cols, dvalid, cam_pos)
+        parts.append(dbg_part)
+        extra_live = dbg_part["pos"].shape[0]
 
     # sky triangles follow the camera (sky_v.gshd). Sky goes FIRST in the
     # soup: cap overflow in the cull compaction below drops highest-index
@@ -339,7 +352,7 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=Non
     if backend == "pallas":
         cap = min(t, T_CULL)
     else:
-        bound = -(-max(bundle.live_tri_bound, 1) // CHUNK) * CHUNK
+        bound = -(-max(bundle.live_tri_bound + extra_live, 1) // CHUNK) * CHUNK
         cap = min(t, max(bound, CHUNK))
     if cap < t:
         order = jnp.sort(jnp.where(keep, jnp.arange(t, dtype=jnp.int32), t))[:cap]
@@ -681,6 +694,9 @@ def shade(bundle, state, gx, gy, uv, lmuv, color, tex_id, kind, shaded, frag_dep
     (render() reveals the fragment behind via a second pass)."""
     env = state.env
     tex4 = sample(bundle.atlas, tex_id, uv, lod=lod)
+    # textureIndex == -1 -> flat vertex color (ui_f.gshd rule; used by the
+    # debug wireframe layer)
+    tex4 = jnp.where((tex_id < 0)[..., None], 1.0, tex4)
 
     out = tex4 * color[..., 3:4]
     fade = jnp.clip(out[..., 3], 0.0, 1.0)
