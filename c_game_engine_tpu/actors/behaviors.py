@@ -89,23 +89,12 @@ def contact_phase(cmap, state, fired, fired_pi):
         blue_coins=state.save.blue_coins + got_blue,
     )
     # PlaySound(SOUND("sfx/coincling"), SOUND_CATEGORY_SFX) per pickup
-    # (Coin.c:83); non-positional, volume 1, no loops
-    from c_game_engine_tpu.audio.mixer import CATEGORY_SFX, alloc_channels
-
-    names = (cmap.aux or {}).get("sound_names", ())
-    cling = names.index("sound/sfx/coincling.gsnd") if "sound/sfx/coincling.gsnd" in names else -1
-    audio, _ = alloc_channels(
-        state.audio,
-        coin_hit,
-        jnp.full((n,), cling, jnp.int32),
-        jnp.ones((n,), jnp.float32),
-        jnp.full((n,), CATEGORY_SFX, jnp.int32),
-        jnp.zeros((n,), jnp.int32),
-        jnp.zeros((n,), bool),
-        actors.pos,
-    )
+    # (Coin.c:83): queue the one-shot cling bit, drained with the other
+    # sound ops once per tick (core/step.py _apply_sound_ops)
     state = state.replace(
-        save=save, audio=audio, sound_plays=state.sound_plays + got_blue + got_norm
+        save=save,
+        sound_ops=state.sound_ops | (coin_hit.astype(jnp.int32) << 4),
+        sound_plays=state.sound_plays + got_blue + got_norm,
     )
     fired, fired_pi = fire(fired, fired_pi, coin_hit, Output.COLLECTED)
     state, fired, fired_pi = remove_actors(state, fired, fired_pi, coin_hit)

@@ -349,9 +349,11 @@ def apply_round(cmap, state, fired, fired_pi, queue):
     actors = actors.replace(skin=jnp.where(sets, sets_pi, actors.skin))
 
     # ---- sound player (SoundPlayer.c:50-121) ----
-    from c_game_engine_tpu.audio.mixer import alloc_channels, set_paused, stop_channels
-
-    play = m_cls(recv(Input.PLAY), ActorClass.SOUND_PLAYER)
+    # Channel-table work is deferred: accumulate op bits here (cheap masked
+    # ORs inside the per-round vmap) and drain them ONCE per tick behind a
+    # batch-global cond in core/step.py::_apply_sound_ops, so ticks with no
+    # sound events pay nothing (same gating pattern as the pair narrowphase).
+    play = m_cls(recv(Input.PLAY), ActorClass.SOUND_PLAYER) & actors.active
     pause = m_cls(recv(Input.PAUSE), ActorClass.SOUND_PLAYER)
     stop = m_cls(recv(Input.STOP), ActorClass.SOUND_PLAYER)
     resume = m_cls(recv(Input.RESUME), ActorClass.SOUND_PLAYER)
@@ -360,35 +362,14 @@ def apply_round(cmap, state, fired, fired_pi, queue):
             jnp.where(play | resume, 1, jnp.where(stop | pause, 0, actors.idata[:, 0]))
         )
     )
-    # real channel ops on the per-env 32-track table (audio/mixer.py). A new
-    # play replaces the actor's handle like PlaySoundEx replaces
-    # data->effect (the prior channel keeps playing, unreferenced).
-    audio = state.audio
-    audio, handle = alloc_channels(
-        audio,
-        play & actors.active,
-        cmap.siparams[:, 0],        # sound id (build_sound_player)
-        cmap.sfparams[:, 0],        # volume
-        cmap.siparams[:, 1],        # category
-        cmap.siparams[:, 2],        # loops
-        cmap.siparams[:, 3] != 0,   # positional
-        actors.pos,
-    )
-    handles = jnp.where(play, handle, actors.idata[:, 1])
-    n_ch = audio.snd.shape[0]
-    ch_ids = jnp.arange(n_ch, dtype=jnp.int32)[None, :]
-
-    def ch_mask_of(actor_mask):
-        return jnp.any(actor_mask[:, None] & (handles[:, None] == ch_ids), axis=0)
-
-    audio = set_paused(audio, ch_mask_of(pause), True)
-    audio = set_paused(audio, ch_mask_of(resume), False)
-    audio = stop_channels(audio, ch_mask_of(stop))
-    actors = actors.replace(
-        idata=actors.idata.at[:, 1].set(jnp.where(stop, -1, handles))
+    ops = (
+        play.astype(jnp.int32)
+        | (pause.astype(jnp.int32) << 1)
+        | (stop.astype(jnp.int32) << 2)
+        | (resume.astype(jnp.int32) << 3)
     )
     state = state.replace(
-        audio=audio,
+        sound_ops=state.sound_ops | ops,
         sound_plays=state.sound_plays + jnp.sum(play.astype(jnp.int32)),
     )
 

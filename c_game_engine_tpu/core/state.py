@@ -228,6 +228,10 @@ class EnvState:
     camera_actor: jnp.ndarray  # [] i32 (-1 = player camera)
     sound_plays: jnp.ndarray  # [] i32 — cumulative play events (SoundSystem observable)
     audio: Any  # AudioState — 32-channel table (audio/mixer.py)
+    # per-actor sound-op bits accumulated across signal rounds, drained once
+    # per tick behind a batch-global cond (core/step.py _apply_sound_ops):
+    # 1 play, 2 pause, 4 stop, 8 resume, 16 one-shot coincling
+    sound_ops: jnp.ndarray  # [N] i32
     tick: jnp.ndarray  # [] i32
 
 
@@ -319,6 +323,7 @@ def reset(cmap: CompiledMap) -> EnvState:
         camera_actor=jnp.array(-1, jnp.int32),
         sound_plays=jnp.zeros((), jnp.int32),
         audio=_empty_audio(),
+        sound_ops=jnp.zeros((n,), jnp.int32),
         tick=jnp.zeros((), jnp.int32),
     )
 

@@ -101,11 +101,15 @@ def step_batch(cmap, state: EnvState, actions: Actions) -> EnvState:
     )
     has_move = mlen > 1e-6
     cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    # world move = R_y(yaw) @ (mx, 0, mz) — the reference rotates moveVec by
+    # the Y-axis quat of the player rotation (PlayerPhysics.c:268-273):
+    # x' = mx cos + mz sin, z' = -mx sin + mz cos. W (mz=-1) then walks along
+    # the camera forward (-sin, -cos) for every yaw.
     flat = jnp.stack(
-        [mdir[:, 0] * cy - mdir[:, 1] * sy, jnp.zeros(B), mdir[:, 0] * sy + mdir[:, 1] * cy], -1
+        [mdir[:, 0] * cy + mdir[:, 1] * sy, jnp.zeros(B), -mdir[:, 0] * sy + mdir[:, 1] * cy], -1
     )
     look_fwd = _forward_xyz(yaw, pitch)
-    look_right = jnp.stack([cy, jnp.zeros(B), sy], -1)
+    look_right = jnp.stack([cy, jnp.zeros(B), -sy], -1)
     full = look_right * mdir[:, 0:1] + (-look_fwd) * mdir[:, 1:2]
     move_vec = jnp.where((freecam | noclip)[:, None], full, flat) * (speed * has_move)[:, None]
 
@@ -425,20 +429,15 @@ def step_batch(cmap, state: EnvState, actions: Actions) -> EnvState:
     )
 
     # --------------------------------- audio channel bookkeeping (one tick)
-    from c_game_engine_tpu.audio.mixer import tick_advance
+    # Both stages are gated batch-globally so silent workloads pay one
+    # reduction each: sound-op drain (events queued by handlers/coins) and
+    # per-channel advance (only while something is playing).
+    ops_any = jnp.any(state.sound_ops != 0)
+    state = jax.lax.cond(ops_any, lambda s: _apply_sound_ops(cmap, s), lambda s: s, state)
 
-    def _advance_audio(audio, handles):
-        audio, fin = tick_advance(audio, cmap.sound_len)
-        # finished channels null the owning actor's handle
-        # (SoundPlayerSoundDone: data->effect = NULL)
-        nch = audio.snd.shape[0]
-        hit = (handles[:, None] == jnp.arange(nch, dtype=jnp.int32)[None, :]) & fin[None, :]
-        return audio, jnp.where(jnp.any(hit, axis=1), -1, handles)
-
-    audio, handles = jax.vmap(_advance_audio)(state.audio, state.actors.idata[:, :, 1])
-    state = state.replace(
-        audio=audio,
-        actors=state.actors.replace(idata=state.actors.idata.at[:, :, 1].set(handles)),
+    live_any = jnp.any(state.audio.snd >= 0)
+    state = jax.lax.cond(
+        live_any, lambda s: _advance_audio_tick(cmap, s), lambda s: s, state
     )
 
     # ------------------------------------------- save clamps (MapUpdate)
@@ -447,6 +446,94 @@ def step_batch(cmap, state: EnvState, actions: Actions) -> EnvState:
         blue_coins=jnp.minimum(state.save.blue_coins, 5),
     )
     return state.replace(save=save, tick=state.tick + 1)
+
+
+def _apply_sound_ops(cmap, state: EnvState) -> EnvState:
+    """Drain the per-actor sound-op bits into channel-table operations
+    (SoundPlayer Play/Pause/Resume/Stop handlers + Coin.c:83 coincling).
+
+    Op collapse note: bits accumulate across signal rounds, so a stop fired
+    in an earlier round than a play on the SAME actor applies to the old
+    channel (stop/pause/resume act on pre-play handles, then plays
+    allocate). Game content never stacks ops on one actor in one tick.
+    """
+    from c_game_engine_tpu.audio.mixer import alloc_channels, set_paused, stop_channels
+
+    names = (cmap.aux or {}).get("sound_names", ())
+    cling = (
+        names.index("sound/sfx/coincling.gsnd")
+        if "sound/sfx/coincling.gsnd" in names
+        else -1
+    )
+
+    def one_env(state):
+        ops = state.sound_ops
+        actors = state.actors
+        play = (ops & 1) != 0
+        pause = (ops & 2) != 0
+        stop = (ops & 4) != 0
+        resume = (ops & 8) != 0
+        cling_m = (ops & 16) != 0
+        audio = state.audio
+        n_ch = audio.snd.shape[0]
+        ch_ids = jnp.arange(n_ch, dtype=jnp.int32)[None, :]
+        handles = actors.idata[:, 1]
+
+        def ch_mask_of(actor_mask):
+            return jnp.any(actor_mask[:, None] & (handles[:, None] == ch_ids), axis=0)
+
+        audio = set_paused(audio, ch_mask_of(pause), True)
+        audio = set_paused(audio, ch_mask_of(resume), False)
+        audio = stop_channels(audio, ch_mask_of(stop))
+        # plays allocate fresh channels; the new handle replaces the
+        # actor's (PlaySoundEx replaces data->effect — the prior channel
+        # keeps playing, unreferenced)
+        audio, handle = alloc_channels(
+            audio,
+            play,
+            cmap.siparams[:, 0],       # sound id (build_sound_player)
+            cmap.sfparams[:, 0],       # volume
+            cmap.siparams[:, 1],       # category
+            cmap.siparams[:, 2],       # loops
+            cmap.siparams[:, 3] != 0,  # positional
+            actors.pos,
+        )
+        n = play.shape[0]
+        audio, _ = alloc_channels(
+            audio,
+            cling_m,
+            jnp.full((n,), cling, jnp.int32),
+            jnp.ones((n,), jnp.float32),
+            jnp.full((n,), 1, jnp.int32),  # SOUND_CATEGORY_SFX
+            jnp.zeros((n,), jnp.int32),
+            jnp.zeros((n,), bool),
+            actors.pos,
+        )
+        handles = jnp.where(play, handle, jnp.where(stop, -1, handles))
+        actors = actors.replace(idata=actors.idata.at[:, 1].set(handles))
+        return state.replace(
+            actors=actors, audio=audio, sound_ops=jnp.zeros_like(ops)
+        )
+
+    return jax.vmap(one_env)(state)
+
+
+def _advance_audio_tick(cmap, state: EnvState) -> EnvState:
+    """One tick of channel clock: loop/finish bookkeeping; finished channels
+    null the owning actor's handle (SoundPlayerSoundDone)."""
+    from c_game_engine_tpu.audio.mixer import tick_advance
+
+    def one_env(audio, handles):
+        audio, fin = tick_advance(audio, cmap.sound_len)
+        nch = audio.snd.shape[0]
+        hit = (handles[:, None] == jnp.arange(nch, dtype=jnp.int32)[None, :]) & fin[None, :]
+        return audio, jnp.where(jnp.any(hit, axis=1), -1, handles)
+
+    audio, handles = jax.vmap(one_env)(state.audio, state.actors.idata[:, :, 1])
+    return state.replace(
+        audio=audio,
+        actors=state.actors.replace(idata=state.actors.idata.at[:, :, 1].set(handles)),
+    )
 
 
 def step(cmap, state: EnvState, actions: Actions) -> EnvState:

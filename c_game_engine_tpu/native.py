@@ -52,8 +52,76 @@ def lib() -> ctypes.CDLL:
         ctypes.c_double,
         ctypes.c_int,
     ]
+    L.cge_actions_write.restype = ctypes.c_int
+    L.cge_actions_write.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_uint32,
+        ctypes.c_uint32,
+        ctypes.c_uint8,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    L.cge_actions_read.restype = ctypes.c_int
+    L.cge_actions_read.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
     _lib = L
     return L
+
+
+def actions_write_native(path: str, move: np.ndarray, look: np.ndarray,
+                         buttons: np.ndarray) -> None:
+    """Native CGAS stream write. move/look [T,B,2] f32, buttons [T,B,NB] u8."""
+    L = lib()
+    t, b = move.shape[:2]
+    nb = buttons.shape[-1]
+    mv = np.ascontiguousarray(move, np.float32)
+    lk = np.ascontiguousarray(look, np.float32)
+    bt = np.ascontiguousarray(buttons, np.uint8)
+    rc = L.cge_actions_write(
+        path.encode(), b, t, nb,
+        mv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        lk.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        bt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise IOError(f"cge_actions_write({path}) failed: {rc}")
+
+
+def actions_read_native(path: str):
+    """Native CGAS stream read -> (move [T,B,2], look [T,B,2], buttons [T,B,NB])."""
+    L = lib()
+    b = ctypes.c_uint32()
+    t = ctypes.c_uint32()
+    nb = ctypes.c_uint8()
+    mv = ctypes.POINTER(ctypes.c_float)()
+    lk = ctypes.POINTER(ctypes.c_float)()
+    bt = ctypes.POINTER(ctypes.c_uint8)()
+    rc = L.cge_actions_read(
+        path.encode(), ctypes.byref(b), ctypes.byref(t), ctypes.byref(nb),
+        ctypes.byref(mv), ctypes.byref(lk), ctypes.byref(bt),
+    )
+    if rc != 0:
+        raise IOError(f"cge_actions_read({path}) failed: {rc}")
+    try:
+        tb = t.value * b.value
+        move = np.ctypeslib.as_array(mv, (tb * 2,)).copy().reshape(t.value, b.value, 2)
+        look = np.ctypeslib.as_array(lk, (tb * 2,)).copy().reshape(t.value, b.value, 2)
+        btns = np.ctypeslib.as_array(bt, (tb * nb.value,)).copy().reshape(
+            t.value, b.value, nb.value
+        )
+    finally:
+        L.cge_free(mv)
+        L.cge_free(lk)
+        L.cge_free(bt)
+    return move, look, btns
 
 
 def read_asset_native(path: str):

@@ -27,12 +27,29 @@ from c_game_engine_tpu.render.bundle import build_render_bundle
 from c_game_engine_tpu.render.raster import render_with_hud
 
 
-def script_actions(t: int) -> Actions:
-    """A little choreography: look around, walk forward, hop, keep walking."""
+def script_actions(t: int, name: str = "test") -> Actions:
+    """A little choreography: look around, walk forward, hop, keep walking.
+    On shapes.json the walk strafes across the coin row at x=1..3
+    (five pickups -> coinclings on the audio mixer + HUD counter)."""
     a = Actions.zeros()
     move = jnp.zeros(2)
     look = jnp.zeros(2)
     buttons = a.buttons
+    if name == "shapes":
+        # spawn (-6, -0.25, 0) faces +X down the coin row at x=1..3; a
+        # primitive at x~-1.4 deflects the walk, so sidestep back onto the
+        # row (verified on CPU: all five pickups land)
+        if t < 55:
+            move = jnp.array([0.0, -1.0])
+        elif t < 75:  # recenter after sliding around the obstacle
+            move = jnp.array([0.35, -1.0])
+        elif t < 105:  # straight through the coins
+            move = jnp.array([0.0, -1.0])
+        elif t < 111:  # hop
+            buttons = buttons.at[0].set(True)
+        else:  # survey the primitives
+            look = jnp.array([0.03, 0.0])
+        return Actions(move=move, look=look, buttons=buttons)
     if t < 30:  # pan right
         look = jnp.array([0.02, 0.0])
     elif t < 60:  # walk forward while panning back
@@ -54,20 +71,36 @@ def main() -> None:
     rb = build_render_bundle(cm)
     st = reset(cm)
 
+    from c_game_engine_tpu.audio.bank import SAMPLES_PER_TICK, build_map_sound_bank
+    from c_game_engine_tpu.audio.mixer import listener_from_state, mix_frame
+
+    bank = build_map_sound_bank(cm)
+    vols = jnp.ones(4)  # master/music/sfx/ui defaults
+
+    def mix_tick(s):
+        pos, quat = listener_from_state(s)
+        return mix_frame(bank, s.audio, pos, quat, vols, SAMPLES_PER_TICK)
+
     step_fn = jax.jit(lambda s, a: step(cm, s, a))
     render_fn = jax.jit(lambda s: render_with_hud(rb, cm, s, 160, 160))
+    mix_fn = jax.jit(mix_tick)
 
     snap_every = total_ticks // n_frames
     frames = []
+    pcm = []
     for t in range(total_ticks):
-        st = step_fn(st, script_actions(t))
+        st = step_fn(st, script_actions(t, name))
+        pcm.append(np.asarray(mix_fn(st)))
         if (t + 1) % snap_every == 0 and len(frames) < n_frames:
             frames.append(np.asarray(render_fn(st)))
             print(f"tick {t + 1}: frame {len(frames)}/{n_frames}", flush=True)
 
     strip = np.concatenate(frames, axis=1)
     u8 = (np.clip(strip, 0.0, 1.0) * 255).astype(np.uint8)
-    out = pathlib.Path(__file__).resolve().parents[1] / "docs" / "demo.png"
+    # non-default maps keep their own artifacts (docs/demo.png stays the
+    # canonical test.json walkthrough)
+    suffix = "" if name == "test" else f"_{name}"
+    out = pathlib.Path(__file__).resolve().parents[1] / "docs" / f"demo{suffix}.png"
     out.parent.mkdir(exist_ok=True)
     try:
         from PIL import Image
@@ -77,6 +110,16 @@ def main() -> None:
     except ImportError:
         np.save(out.with_suffix(".npy"), u8)
         print(f"PIL unavailable; wrote {out.with_suffix('.npy')}")
+    # the session's mixed audio track (coin clings etc. from the walkthrough)
+    from c_game_engine_tpu.audio.bank import write_wav
+
+    track = np.concatenate(pcm, axis=0)
+    wav = out.parent / f"demo{suffix}.wav"
+    write_wav(wav, track)
+    print(
+        f"wrote {wav} ({track.shape[0]} samples, peak {np.abs(track).max():.3f}, "
+        f"{int(st.sound_plays)} play events)"
+    )
     pos = np.asarray(st.player.pos)
     print(f"final player position: {pos.round(3).tolist()}, tick={int(st.tick)}")
 

@@ -128,6 +128,138 @@ int cge_write_asset(const char *path, uint8_t type, uint8_t type_version,
 void cge_free(void *p) { free(p); }
 
 // ---------------------------------------------------------------------------
+// batch action-stream recorder / replayer
+// ---------------------------------------------------------------------------
+//
+// The reference's input path is the SDL event queue copied across the
+// physics-thread boundary (PhysicsThread.c:45-53, Input.c). The batch
+// framework replaces live input with scripted action streams
+// (core/actions.py); this codec stores those streams as a compact gzip
+// container so long multi-thousand-env recordings replay byte-exactly:
+//
+//   header (32 B LE): magic 'CGAS' u32 | version u8 | n_buttons u8 |
+//     reserved u16 | batch u32 | n_ticks u32 | raw_size u64 | comp_size u64
+//   gzip payload: move [T*B*2] f32, look [T*B*2] f32,
+//     buttons [T*B] u16 bitmask (bit i = Button i held this tick)
+
+static const uint32_t CGAS_MAGIC = 0x53414743u;  // "CGAS"
+
+int cge_actions_write(const char *path, uint32_t batch, uint32_t n_ticks,
+                      uint8_t n_buttons, const float *move, const float *look,
+                      const uint8_t *buttons) {
+    if (n_buttons > 16) return -1;
+    const uint64_t tb = (uint64_t)batch * n_ticks;
+    const uint64_t raw_size = tb * 2 * 4 * 2 + tb * 2;  // move+look f32, mask u16
+    std::vector<uint8_t> raw(raw_size);
+    memcpy(raw.data(), move, tb * 8);
+    memcpy(raw.data() + tb * 8, look, tb * 8);
+    uint16_t *mask = (uint16_t *)(raw.data() + tb * 16);
+    for (uint64_t i = 0; i < tb; i++) {
+        uint16_t m = 0;
+        for (uint8_t b = 0; b < n_buttons; b++)
+            if (buttons[i * n_buttons + b]) m |= (uint16_t)(1u << b);
+        mask[i] = m;
+    }
+    if (raw_size > (uInt)-1) return -2;
+    uLongf bound = compressBound((uLong)raw_size) + 32;
+    std::vector<uint8_t> comp(bound);
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    if (deflateInit2(&zs, 6, Z_DEFLATED, 15 + 16, 8, Z_DEFAULT_STRATEGY) != Z_OK)
+        return -3;
+    zs.next_in = raw.data();
+    zs.avail_in = (uInt)raw_size;
+    zs.next_out = comp.data();
+    zs.avail_out = (uInt)bound;
+    if (deflate(&zs, Z_FINISH) != Z_STREAM_END) { deflateEnd(&zs); return -4; }
+    uint64_t comp_size = zs.total_out;
+    deflateEnd(&zs);
+
+    FILE *f = fopen(path, "wb");
+    if (!f) return -5;
+    uint8_t header[32];
+    memcpy(header, &CGAS_MAGIC, 4);
+    header[4] = 1;
+    header[5] = n_buttons;
+    header[6] = header[7] = 0;
+    memcpy(header + 8, &batch, 4);
+    memcpy(header + 12, &n_ticks, 4);
+    memcpy(header + 16, &raw_size, 8);
+    memcpy(header + 24, &comp_size, 8);
+    bool ok = fwrite(header, 1, 32, f) == 32 &&
+              fwrite(comp.data(), 1, comp_size, f) == comp_size;
+    ok = fclose(f) == 0 && ok;
+    return ok ? 0 : -6;
+}
+
+// Outputs are malloc'd; caller frees each with cge_free. buttons comes back
+// expanded to [T*B*n_buttons] u8.
+int cge_actions_read(const char *path, uint32_t *batch, uint32_t *n_ticks,
+                     uint8_t *n_buttons, float **out_move, float **out_look,
+                     uint8_t **out_buttons) {
+    FILE *f = fopen(path, "rb");
+    if (!f) return -1;
+    uint8_t header[32];
+    if (fread(header, 1, 32, f) != 32) { fclose(f); return -2; }
+    uint32_t magic;
+    memcpy(&magic, header, 4);
+    if (magic != CGAS_MAGIC || header[4] != 1) { fclose(f); return -3; }
+    uint8_t nb = header[5];
+    uint32_t B, T;
+    memcpy(&B, header + 8, 4);
+    memcpy(&T, header + 12, 4);
+    uint64_t raw_size, comp_size;
+    memcpy(&raw_size, header + 16, 8);
+    memcpy(&comp_size, header + 24, 8);
+    const uint64_t tb = (uint64_t)B * T;
+    // validate the untrusted header: sizes consistent and within bounds
+    if (nb > 16 || raw_size != tb * 18 || raw_size > (1ull << 32)) {
+        fclose(f);
+        return -4;
+    }
+    if (fseek(f, 0, SEEK_END) != 0 ||
+        (uint64_t)ftell(f) != 32 + comp_size ||
+        fseek(f, 32, SEEK_SET) != 0 || comp_size > (uInt)-1) {
+        fclose(f);
+        return -4;
+    }
+    std::vector<uint8_t> comp(comp_size);
+    if (fread(comp.data(), 1, comp_size, f) != comp_size) { fclose(f); return -5; }
+    fclose(f);
+
+    std::vector<uint8_t> raw(raw_size);
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, 15 + 16) != Z_OK) return -6;
+    zs.next_in = comp.data();
+    zs.avail_in = (uInt)comp_size;
+    zs.next_out = raw.data();
+    zs.avail_out = (uInt)raw_size;
+    int rc = inflate(&zs, Z_FINISH);
+    bool ok = rc == Z_STREAM_END && zs.total_out == raw_size;
+    inflateEnd(&zs);
+    if (!ok) return -7;
+
+    float *mv = (float *)malloc(tb ? tb * 8 : 1);
+    float *lk = (float *)malloc(tb ? tb * 8 : 1);
+    uint8_t *bt = (uint8_t *)malloc(tb && nb ? tb * nb : 1);
+    if (!mv || !lk || !bt) { free(mv); free(lk); free(bt); return -8; }
+    memcpy(mv, raw.data(), tb * 8);
+    memcpy(lk, raw.data() + tb * 8, tb * 8);
+    const uint16_t *mask = (const uint16_t *)(raw.data() + tb * 16);
+    for (uint64_t i = 0; i < tb; i++)
+        for (uint8_t b = 0; b < nb; b++)
+            bt[i * nb + b] = (mask[i] >> b) & 1u;
+    *batch = B;
+    *n_ticks = T;
+    *n_buttons = nb;
+    *out_move = mv;
+    *out_look = lk;
+    *out_buttons = bt;
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
 // character controller oracle
 // ---------------------------------------------------------------------------
 

@@ -36,10 +36,10 @@ def walk_to(rig, sfn, st, target_xz, max_ticks=600):
         if np.linalg.norm(d) < 0.3:
             break
         yaw = float(st.player.yaw)
-        # world move = R(yaw) @ (mx, mz); invert to aim at d
+        # world move = R_y(yaw) @ (mx, mz); invert to aim at d
         c, s = np.cos(yaw), np.sin(yaw)
-        mx = c * d[0] + s * d[1]
-        mz = -s * d[0] + c * d[1]
+        mx = c * d[0] - s * d[1]
+        mz = s * d[0] + c * d[1]
         m = np.array([mx, mz])
         m /= max(np.linalg.norm(m), 1e-6)
         a = Actions.zeros().replace(move=jnp.asarray(m, jnp.float32))

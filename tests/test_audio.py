@@ -214,7 +214,7 @@ def _walk(sfn, st, target_xz, max_ticks=600):
             break
         yaw = float(st.player.yaw)
         c, s = np.cos(yaw), np.sin(yaw)
-        m = np.array([c * d[0] + s * d[1], -s * d[0] + c * d[1]])
+        m = np.array([c * d[0] - s * d[1], s * d[0] + c * d[1]])
         m /= max(np.linalg.norm(m), 1e-6)
         st = sfn(st, Actions.zeros().replace(move=jnp.asarray(m, jnp.float32)))
     return st

@@ -189,3 +189,36 @@ def test_body_sleeping(rig):
         st = sfn(st, Actions.zeros())
     assert int(st.actors.sleep[i_pb]) < SLEEP_AFTER
     assert abs(float(st.actors.pos[i_pb, 0]) - frozen[0]) > 0.01
+
+
+def test_walk_direction_matches_camera_forward_at_rotated_yaw():
+    """W must move the player along the camera forward for EVERY spawn yaw
+    (PlayerPhysics.c:268-273 rotates moveVec by the Y-axis player quat).
+    Regression: the flat-walk rotation used the transposed matrix, so W
+    walked backward at yaw 3pi/2 (shapes.gmap's spawn)."""
+    from c_game_engine_tpu.core.step import _forward_xyz
+    from tests.worldgen import make_map
+
+    for yaw in (0.0, np.pi / 2, np.pi * 1.5, 2.2):
+        cmap = make_map([], spawn_yaw=yaw)
+        sfn = jax.jit(lambda s, a: step(cmap, s, a))
+        st = reset(cmap)
+        fwd = np.asarray(_forward_xyz(st.player.yaw[None], jnp.zeros(1)))[0]
+        p0 = np.asarray(st.player.pos)
+        a = Actions.zeros().replace(move=jnp.asarray([0.0, -1.0], jnp.float32))
+        for _ in range(20):
+            st = sfn(st, a)
+        d = np.asarray(st.player.pos) - p0
+        d[1] = 0.0
+        dn = d / max(np.linalg.norm(d), 1e-9)
+        assert float(dn @ fwd) > 0.99, f"yaw={yaw}: walked {dn} vs forward {fwd}"
+        # strafe right (D) moves along camera right = forward x up... (cy, 0, -sy)
+        st2 = reset(cmap)
+        a2 = Actions.zeros().replace(move=jnp.asarray([1.0, 0.0], jnp.float32))
+        for _ in range(20):
+            st2 = sfn(st2, a2)
+        d2 = np.asarray(st2.player.pos) - p0
+        d2[1] = 0.0
+        d2 /= max(np.linalg.norm(d2), 1e-9)
+        right = np.array([np.cos(yaw), 0.0, -np.sin(yaw)])
+        assert float(d2 @ right) > 0.99, f"yaw={yaw}: strafed {d2} vs right {right}"
