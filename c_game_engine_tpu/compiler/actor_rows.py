@@ -96,6 +96,9 @@ class Row:
     # sensor attachment (one optional box sensor owned by this actor)
     sensor_halfext: np.ndarray | None = None
     sensor_pos: np.ndarray | None = None  # world
+    # follow-sensor: tracks the owner's dynamic body pose at runtime
+    # (item_eraser touch pickup rides the body, ItemEraser.c:74-76)
+    sensor_follow: bool = False
     # billboarding (ActorYBillboard callers: coin, goal, npc_john)
     billboard: bool = False
     # children spawned at compile time (emitter -> laser)
@@ -501,6 +504,13 @@ def build_item_eraser(ir, ctx):
     r.hull_verts = info.hull_verts
     r.layer = int(Layer.DYNAMIC)
     r.mass = info.mass_default
+    # touch pickup fires on player-body contact (ItemEraserOnPlayerContactAdded)
+    # — modeled as a sensor that follows the dynamic body (PARITY.md #9).
+    # +0.05 = Jolt's convex-radius/contact tolerance, so a capsule the
+    # contact solver holds flush against the box still registers a touch
+    r.sensor_halfext = r.halfext + 0.05
+    r.sensor_pos = r.pos + r.shape_center
+    r.sensor_follow = True
     return r
 
 

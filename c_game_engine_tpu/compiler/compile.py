@@ -244,11 +244,12 @@ def compile_map(
         init_ev_pi[j] = iq_pi[j]
 
     # --------------------------------------------------------------- sensors
-    s_owner, s_pos, s_quat, s_ext = [], [], [], []
+    s_owner, s_pos, s_quat, s_ext, s_follow = [], [], [], [], []
     for i, r in enumerate(rows):
         if r.sensor_pos is not None:
             s_owner.append(i)
             s_pos.append(r.sensor_pos)
+            s_follow.append(bool(getattr(r, "sensor_follow", False)))
             # coin/goal sensors use identity rotation (Coin.c adjustedTransform);
             # door/trigger sensors use the actor rotation
             if r.cls in (int(ActorClass.COIN), int(ActorClass.GOAL)):
@@ -262,11 +263,13 @@ def compile_map(
     sensor_pos = np.zeros((s, 3), np.float32)
     sensor_quat = np.tile(np.array([0, 0, 0, 1], np.float32), (s, 1))
     sensor_halfext = np.zeros((s, 3), np.float32)
+    sensor_follow = np.zeros(s, bool)
     for j in range(s_real):
         sensor_owner[j] = s_owner[j]
         sensor_pos[j] = s_pos[j]
         sensor_quat[j] = s_quat[j]
         sensor_halfext[j] = s_ext[j]
+        sensor_follow[j] = s_follow[j]
 
     # ------------------------------------------------------------- collision
     tris = gmap.all_collision_tris()
@@ -469,6 +472,7 @@ def compile_map(
         "hulls_are_boxes": hulls_are_boxes,
         "dyn_is_box": dyn_is_box,
         "num_dynamic": int(len(dyn_list)),
+        "has_follow_sensors": bool(any(s_follow)),
         "actor_names": [r.name for r in rows],
         "actor_classes": [ActorClass(r.cls).name for r in rows],
         "texture_names": list(ctx.texture_ids.keys()),
@@ -524,6 +528,7 @@ def compile_map(
         sensor_pos=jnp.asarray(sensor_pos),
         sensor_quat=jnp.asarray(sensor_quat),
         sensor_halfext=jnp.asarray(sensor_halfext),
+        sensor_follow=jnp.asarray(sensor_follow),
         edge_src=pad_list(edge_src, -1, np.int32),
         edge_out=pad_list(edge_out, 0, np.int32),
         edge_dst=pad_list(edge_dst, 0, np.int32),

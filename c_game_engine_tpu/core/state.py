@@ -77,6 +77,7 @@ class CompiledMap:
     sensor_pos: jnp.ndarray  # [S, 3]
     sensor_quat: jnp.ndarray  # [S, 4]
     sensor_halfext: jnp.ndarray  # [S, 3]
+    sensor_follow: jnp.ndarray  # [S] bool: pose tracks the owner's body
 
     # --- signal graph (compiled ActorConnection lists) ---
     edge_src: jnp.ndarray  # [E] i32 source actor (-1 pad)

@@ -575,19 +575,7 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
     # mirrored dyn-dyn pairs collapse to one slot (solved bilaterally)
     keep_pair = (~(a2d >= 0))[None, :] | (sl[:, None] < jnp.arange(n)[None, :])
     DN = D * n
-    prio = jnp.where(
-        (pair_bp & keep_pair[:, :, None]).reshape(DN, B),
-        DN - jnp.arange(DN, dtype=jnp.int32)[:, None],
-        0,
-    )
     P = min(P_CAP, DN)
-    topv, _ = jax.lax.top_k(prio.T, P)  # [B, P]
-    vals = topv.T  # [P, B]
-    pr_on = vals > 0
-    fidx = jnp.where(pr_on, DN - vals, 0)
-    p_d = fidx // n  # [P, B] A-side dyn lane
-    p_n = fidx % n  # [P, B] B-side actor slot
-    a_act = slc[p_d]  # [P, B] A-side actor slot
 
     # ------------------------------------------------------- body sleeping
     # A body below the velocity threshold for SLEEP_AFTER ticks freezes:
@@ -633,6 +621,20 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
 
 
     def _pair_gen(_):
+        # top_k slot compaction lives INSIDE the gate: quiet ticks (all
+        # candidates asleep) never pay for it.
+        prio = jnp.where(
+            (pair_bp & keep_pair[:, :, None]).reshape(DN, B),
+            DN - jnp.arange(DN, dtype=jnp.int32)[:, None],
+            0,
+        )
+        topv, _ = jax.lax.top_k(prio.T, P)  # [B, P]
+        vals = topv.T  # [P, B]
+        pr_on = vals > 0
+        fidx = jnp.where(pr_on, DN - vals, 0)
+        p_d = fidx // n  # [P, B] A-side dyn lane
+        p_n = fidx % n  # [P, B] B-side actor slot
+        a_act = slc[p_d]  # [P, B] A-side actor slot
         # PACKED gathers: TPU gathers are scalarized, so the ~30 separate
         # per-pair lookups this block used to make were most of the
         # generation cost. One static per-actor row gather per side + one
@@ -885,561 +887,581 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
             zp, zp, zp, zp, zp, zp, zp, zp, zp, zp,
         )
 
-    (pd0, pp_x, pp_y, pp_z, pcand_live, pn2_x, pn2_y, pn2_z, ohA, ohB, a_mu_p, a_invm, b_invm, a_iIx, a_iIy, a_iIz, b_iIx, b_iIy, b_iIz, pA_qx, pA_qy, pA_qz, pA_qw, pB_qx, pB_qy, pB_qz, pB_qw, pA_cx, pA_cy, pA_cz, pB_cx, pB_cy, pB_cz, vkBx, vkBy, vkBz, b_dynf) = jax.lax.cond(pair_any, _pair_gen, _pair_zero, 0)
-    if use_pallas:
-        from c_game_engine_tpu.ops.body_contacts import BLK as PBLK, body_contacts_pallas
+    # ---------------- batch-global body-activity gate -----------------
+    # Everything from pair/tri manifold generation through the substep
+    # loop is identity when no dynamic lane in the batch is awake (all
+    # impulses/pushes/integration mask on `awake`), so the steady state
+    # (settled props, resting stacks, player away) skips it wholesale.
+    # Wake tests above run unconditionally and flip this gate the tick
+    # anything starts moving (player approach, kinematic mover, gameplay
+    # velocity writes).
+    def _bodies_active(carry0):
+        (dpx, dpy, dpz, dqx, dqy, dqz, dqw,
+         dvx, dvy, dvz, dwx, dwy, dwz) = carry0
+        (pd0, pp_x, pp_y, pp_z, pcand_live, pn2_x, pn2_y, pn2_z, ohA, ohB, a_mu_p, a_invm, b_invm, a_iIx, a_iIy, a_iIz, b_iIx, b_iIy, b_iIz, pA_qx, pA_qy, pA_qz, pA_qw, pB_qx, pB_qy, pB_qz, pB_qw, pA_cx, pA_cy, pA_cz, pB_cx, pB_cy, pB_cz, vkBx, vkBy, vkBz, b_dynf) = jax.lax.cond(pair_any, _pair_gen, _pair_zero, 0)
+        if use_pallas:
+            from c_game_engine_tpu.ops.body_contacts import BLK as PBLK, body_contacts_pallas
 
-        pad = (-B) % PBLK
-        body11 = jnp.zeros((16, D, B + pad), jnp.float32)
-        comps = [ccx0, ccy0, ccz0, dqx, dqy, dqz, dqw,
-                 jnp.broadcast_to(dhx, (D, B)), jnp.broadcast_to(dhy, (D, B)),
-                 jnp.broadcast_to(dhz, (D, B)), awake.astype(jnp.float32)]
-        for k_, a_ in enumerate(comps):
-            body11 = body11.at[k_, :, :B].set(a_)
-        # per-body chunk margin: this body's support diagonal + candidate
-        # slack (tighter than the map-wide aux['body_margin'] bound, which
-        # still governs the grid fallback's inflation)
-        margin_d = jnp.sqrt(dhx * dhx + dhy * dhy + dhz * dhz)[:, 0] + 0.35
-        outc = body_contacts_pallas(
-            tri16, cmap.chunk_bounds, body11, D, margin_d,
-            verts=cmap.hull_verts[slc],
-            is_box=cmap.aux["dyn_is_box"],
-        )[:, :, :B]
-        gen_d = outc[0].reshape(D, MANIFOLD_K, B)
-        c_nx = outc[1].reshape(D, MANIFOLD_K, B)
-        c_ny = outc[2].reshape(D, MANIFOLD_K, B)
-        c_nz = outc[3].reshape(D, MANIFOLD_K, B)
-        c_px = outc[4].reshape(D, MANIFOLD_K, B)
-        c_py = outc[5].reshape(D, MANIFOLD_K, B)
-        c_pz = outc[6].reshape(D, MANIFOLD_K, B)
-    else:
-        cand = _grid_cells_at(cmap, ccx0.reshape(-1), ccz0.reshape(-1))  # [L, D*B]
-        L = cand.shape[0]
-        cand = cand.reshape(L, D, B).transpose(1, 0, 2)  # [D, L, B]
-        c = _tri_comps(cmap, cand)
-        cand_ok0 = (cand >= 0) & jnp.take(cmap.tri_valid, jnp.clip(cand, 0, None)) & awake[:, None, :]
-        e = lambda a_: a_[:, None, :]
-        qtx, qty, qtz = g.closest_point_on_triangle_soa(
-            e(ccx0), e(ccy0), e(ccz0), c[0], c[1], c[2], c[3], c[4], c[5], c[6], c[7], c[8]
-        )
-        dx_, dy_, dz_ = e(ccx0) - qtx, e(ccy0) - qty, e(ccz0) - qtz
-        rnx, rny, rnz, dist = g.normalize3(dx_, dy_, dz_)
-        fnx, fny, fnz = c[9], c[10], c[11]
-        side = jnp.sign(g.dot3(e(ccx0) - c[0], e(ccy0) - c[1], e(ccz0) - c[2], fnx, fny, fnz))
-        side = jnp.where(side == 0, 1.0, side)
-        flip = jnp.sign(g.dot3(rnx, rny, rnz, fnx, fny, fnz)) * side
-        flip = jnp.where(flip == 0, 1.0, flip)
-        cnx0 = jnp.where(dist > 1e-6, rnx * flip, fnx * side)
-        cny0 = jnp.where(dist > 1e-6, rny * flip, fny * side)
-        cnz0 = jnp.where(dist > 1e-6, rnz * flip, fnz * side)
-        signed = g.dot3(dx_, dy_, dz_, cnx0, cny0, cnz0)
-        r_sup0 = _support_toward(
-            e(dqx), e(dqy), e(dqz), e(dqw), e(dhx * 1.0), e(dhy * 1.0), e(dhz * 1.0),
-            cnx0, cny0, cnz0, verts=d_verts, is_box=d_is_box,
-        )
-        depth0 = jnp.where(cand_ok0, r_sup0 - signed, -jnp.inf)
-        sel = [[] for _ in range(7)]
-        dwork = depth0
-        for _k in range(MANIFOLD_K):
-            i = jnp.argmax(dwork, axis=1)
-            tk = lambda a_: jnp.take_along_axis(a_, i[:, None, :], axis=1)[:, 0, :]
-            for li, a_ in enumerate((dwork, cnx0, cny0, cnz0, qtx, qty, qtz)):
-                sel[li].append(tk(a_))
-            dwork = jnp.where(jnp.arange(L)[None, :, None] == i[:, None, :], -jnp.inf, dwork)
-        gen_d, c_nx, c_ny, c_nz, c_px, c_py, c_pz = (jnp.stack(x, 1) for x in sel)
-    # candidate set: contacts + near-contacts (catch mid-tick impacts)
-    cand_live = gen_d > -0.3
-    def substep(carry, _):
-        dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz = carry
-        on = awake  # sleeping lanes: frozen pose, no gravity/pushes
-        dvy = jnp.where(on, dvy + GRAVITY_Y * h, dvy)
-        dpx = jnp.where(on, dpx + dvx * h, dpx)
-        dpy = jnp.where(on, dpy + dvy * h, dpy)
-        dpz = jnp.where(on, dpz + dvz * h, dpz)
-        # quaternion integration: q += 0.5*h*(omega_quat * q)
-        ow = 0.0
-        nqx = dqx + 0.5 * h * (dwx * dqw + dwy * dqz - dwz * dqy)
-        nqy = dqy + 0.5 * h * (-dwx * dqz + dwy * dqw + dwz * dqx)
-        nqz = dqz + 0.5 * h * (dwx * dqy - dwy * dqx + dwz * dqw)
-        nqw = dqw + 0.5 * h * (-dwx * dqx - dwy * dqy - dwz * dqz)
-        qn = jnp.sqrt(nqx * nqx + nqy * nqy + nqz * nqz + nqw * nqw)
-        qn = jnp.maximum(qn, 1e-12)
-        dqx = jnp.where(on, nqx / qn, dqx)
-        dqy = jnp.where(on, nqy / qn, dqy)
-        dqz = jnp.where(on, nqz / qn, dqz)
-        dqw = jnp.where(on, nqw / qn, dqw)
-
-        # box centers
-        ccx, ccy, ccz = g.quat_rotate_soa(dqx, dqy, dqz, dqw, dcx, dcy, dcz)
-        ccx, ccy, ccz = ccx + dpx, ccy + dpy, ccz + dpz
-
-        # ------------------- recompute manifold depths at the live pose
-        e2m = lambda a_: a_[:, None, :]
-        r_sup_k = _support_toward(
-            e2m(dqx), e2m(dqy), e2m(dqz), e2m(dqw),
-            e2m(dhx * 1.0), e2m(dhy * 1.0), e2m(dhz * 1.0), c_nx, c_ny, c_nz,
-            verts=d_verts, is_box=d_is_box,
-        )
-        signed_k = (
-            (e2m(ccx) - c_px) * c_nx + (e2m(ccy) - c_py) * c_ny + (e2m(ccz) - c_pz) * c_nz
-        )
-        c_d = jnp.where(cand_live & e2m(on), r_sup_k - signed_k, -jnp.inf)
-        active = c_d > 0.0
-        # centroid of the active manifold (same argument as the pair
-        # solver: the aggregate push of a coherent K-point manifold is
-        # central, so per-point impulses with lever-arm effective masses
-        # under-apply; a sequential centroid pre-pass takes the bulk and
-        # leaves only rocking residuals to the per-point Jacobi sweeps)
-        t_actf = active.astype(jnp.float32)
-        t_nact = jnp.maximum(jnp.sum(t_actf, 1), 1.0)  # [D, B]
-        t_any = jnp.any(active, 1)
-        tc_px = jnp.sum(c_px * t_actf, 1) / t_nact
-        tc_py = jnp.sum(c_py * t_actf, 1) / t_nact
-        tc_pz = jnp.sum(c_pz * t_actf, 1) / t_nact
-        tnx0 = jnp.sum(c_nx * t_actf, 1)
-        tny0 = jnp.sum(c_ny * t_actf, 1)
-        tnz0 = jnp.sum(c_nz * t_actf, 1)
-        tnx, tny, tnz, tnl = g.normalize3(tnx0, tny0, tnz0)
-        coherent = t_any & (tnl > 0.5 * t_nact)  # skip mixed-normal wedges
-        tnx = jnp.where(coherent, tnx, 0.0)
-        tny = jnp.where(coherent, tny, 1.0)
-        tnz = jnp.where(coherent, tnz, 0.0)
-
-        def tri_centroid_pass(vo):
-            dvx, dvy, dvz, dwx, dwy, dwz = vo
-            rx_ = tc_px - ccx
-            ry_ = tc_py - ccy
-            rz_ = tc_pz - ccz
-            vptx = dvx + dwy * rz_ - dwz * ry_
-            vpty = dvy + dwz * rx_ - dwx * rz_
-            vptz = dvz + dwx * ry_ - dwy * rx_
-            vn = vptx * tnx + vpty * tny + vptz * tnz
-            rxn_x, rxn_y, rxn_z = g.cross3(rx_, ry_, rz_, tnx, tny, tnz)
-            ia_x, ia_y, ia_z = rot_inv_apply(
-                dqx, dqy, dqz, dqw, iIx, iIy, iIz, rxn_x, rxn_y, rxn_z
+            pad = (-B) % PBLK
+            body11 = jnp.zeros((16, D, B + pad), jnp.float32)
+            comps = [ccx0, ccy0, ccz0, dqx, dqy, dqz, dqw,
+                     jnp.broadcast_to(dhx, (D, B)), jnp.broadcast_to(dhy, (D, B)),
+                     jnp.broadcast_to(dhz, (D, B)), awake.astype(jnp.float32)]
+            for k_, a_ in enumerate(comps):
+                body11 = body11.at[k_, :, :B].set(a_)
+            # per-body chunk margin: this body's support diagonal + candidate
+            # slack (tighter than the map-wide aux['body_margin'] bound, which
+            # still governs the grid fallback's inflation)
+            margin_d = jnp.sqrt(dhx * dhx + dhy * dhy + dhz * dhz)[:, 0] + 0.35
+            outc = body_contacts_pallas(
+                tri16, cmap.chunk_bounds, body11, D, margin_d,
+                verts=cmap.hull_verts[slc],
+                is_box=cmap.aux["dyn_is_box"],
+            )[:, :, :B]
+            gen_d = outc[0].reshape(D, MANIFOLD_K, B)
+            c_nx = outc[1].reshape(D, MANIFOLD_K, B)
+            c_ny = outc[2].reshape(D, MANIFOLD_K, B)
+            c_nz = outc[3].reshape(D, MANIFOLD_K, B)
+            c_px = outc[4].reshape(D, MANIFOLD_K, B)
+            c_py = outc[5].reshape(D, MANIFOLD_K, B)
+            c_pz = outc[6].reshape(D, MANIFOLD_K, B)
+        else:
+            cand = _grid_cells_at(cmap, ccx0.reshape(-1), ccz0.reshape(-1))  # [L, D*B]
+            L = cand.shape[0]
+            cand = cand.reshape(L, D, B).transpose(1, 0, 2)  # [D, L, B]
+            c = _tri_comps(cmap, cand)
+            cand_ok0 = (cand >= 0) & jnp.take(cmap.tri_valid, jnp.clip(cand, 0, None)) & awake[:, None, :]
+            e = lambda a_: a_[:, None, :]
+            qtx, qty, qtz = g.closest_point_on_triangle_soa(
+                e(ccx0), e(ccy0), e(ccz0), c[0], c[1], c[2], c[3], c[4], c[5], c[6], c[7], c[8]
             )
-            ca_x, ca_y, ca_z = g.cross3(ia_x, ia_y, ia_z, rx_, ry_, rz_)
-            k_n = d_inv_m + ca_x * tnx + ca_y * tny + ca_z * tnz
-            jn = jnp.where(coherent & (vn < 0), -vn / jnp.maximum(k_n, 1e-9), 0.0) * RELAX
-            ix_, iy_, iz_ = tnx * jn, tny * jn, tnz * jn
-            # friction at the centroid
-            vtx = vptx - tnx * vn
-            vty = vpty - tny * vn
-            vtz = vptz - tnz * vn
-            tdx, tdy, tdz, vt_mag = g.normalize3(vtx, vty, vtz)
-            rxt_x, rxt_y, rxt_z = g.cross3(rx_, ry_, rz_, tdx, tdy, tdz)
-            ft_x, ft_y, ft_z = rot_inv_apply(
-                dqx, dqy, dqz, dqw, iIx, iIy, iIz, rxt_x, rxt_y, rxt_z
+            dx_, dy_, dz_ = e(ccx0) - qtx, e(ccy0) - qty, e(ccz0) - qtz
+            rnx, rny, rnz, dist = g.normalize3(dx_, dy_, dz_)
+            fnx, fny, fnz = c[9], c[10], c[11]
+            side = jnp.sign(g.dot3(e(ccx0) - c[0], e(ccy0) - c[1], e(ccz0) - c[2], fnx, fny, fnz))
+            side = jnp.where(side == 0, 1.0, side)
+            flip = jnp.sign(g.dot3(rnx, rny, rnz, fnx, fny, fnz)) * side
+            flip = jnp.where(flip == 0, 1.0, flip)
+            cnx0 = jnp.where(dist > 1e-6, rnx * flip, fnx * side)
+            cny0 = jnp.where(dist > 1e-6, rny * flip, fny * side)
+            cnz0 = jnp.where(dist > 1e-6, rnz * flip, fnz * side)
+            signed = g.dot3(dx_, dy_, dz_, cnx0, cny0, cnz0)
+            r_sup0 = _support_toward(
+                e(dqx), e(dqy), e(dqz), e(dqw), e(dhx * 1.0), e(dhy * 1.0), e(dhz * 1.0),
+                cnx0, cny0, cnz0, verts=d_verts, is_box=d_is_box,
             )
-            ct_x, ct_y, ct_z = g.cross3(ft_x, ft_y, ft_z, rx_, ry_, rz_)
-            k_t = d_inv_m + ct_x * tdx + ct_y * tdy + ct_z * tdz
-            jt = jnp.where(
-                coherent,
-                jnp.minimum(vt_mag / jnp.maximum(k_t, 1e-9), d_mu * jnp.maximum(jn, 0.0)),
-                0.0,
-            ) * RELAX
-            ix_, iy_, iz_ = ix_ - tdx * jt, iy_ - tdy * jt, iz_ - tdz * jt
-            dvx = dvx + ix_ * d_inv_m
-            dvy = dvy + iy_ * d_inv_m
-            dvz = dvz + iz_ * d_inv_m
-            tqx, tqy, tqz = g.cross3(rx_, ry_, rz_, ix_, iy_, iz_)
-            wx_, wy_, wz_ = rot_inv_apply(
-                dqx, dqy, dqz, dqw, iIx, iIy, iIz, tqx, tqy, tqz
+            depth0 = jnp.where(cand_ok0, r_sup0 - signed, -jnp.inf)
+            sel = [[] for _ in range(7)]
+            dwork = depth0
+            for _k in range(MANIFOLD_K):
+                i = jnp.argmax(dwork, axis=1)
+                tk = lambda a_: jnp.take_along_axis(a_, i[:, None, :], axis=1)[:, 0, :]
+                for li, a_ in enumerate((dwork, cnx0, cny0, cnz0, qtx, qty, qtz)):
+                    sel[li].append(tk(a_))
+                dwork = jnp.where(jnp.arange(L)[None, :, None] == i[:, None, :], -jnp.inf, dwork)
+            gen_d, c_nx, c_ny, c_nz, c_px, c_py, c_pz = (jnp.stack(x, 1) for x in sel)
+        # candidate set: contacts + near-contacts (catch mid-tick impacts)
+        cand_live = gen_d > -0.3
+        def substep(carry, _):
+            dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz = carry
+            on = awake  # sleeping lanes: frozen pose, no gravity/pushes
+            dvy = jnp.where(on, dvy + GRAVITY_Y * h, dvy)
+            dpx = jnp.where(on, dpx + dvx * h, dpx)
+            dpy = jnp.where(on, dpy + dvy * h, dpy)
+            dpz = jnp.where(on, dpz + dvz * h, dpz)
+            # quaternion integration: q += 0.5*h*(omega_quat * q)
+            ow = 0.0
+            nqx = dqx + 0.5 * h * (dwx * dqw + dwy * dqz - dwz * dqy)
+            nqy = dqy + 0.5 * h * (-dwx * dqz + dwy * dqw + dwz * dqx)
+            nqz = dqz + 0.5 * h * (dwx * dqy - dwy * dqx + dwz * dqw)
+            nqw = dqw + 0.5 * h * (-dwx * dqx - dwy * dqy - dwz * dqz)
+            qn = jnp.sqrt(nqx * nqx + nqy * nqy + nqz * nqz + nqw * nqw)
+            qn = jnp.maximum(qn, 1e-12)
+            dqx = jnp.where(on, nqx / qn, dqx)
+            dqy = jnp.where(on, nqy / qn, dqy)
+            dqz = jnp.where(on, nqz / qn, dqz)
+            dqw = jnp.where(on, nqw / qn, dqw)
+
+            # ------------------------------------------ vs player [D, B]
+            # BEFORE the contact solver, matching the reference's order
+            # (MapPhysics.c:58-108: MovePlayer/UpdatePlayer run before
+            # JPH_PhysicsSystem_Update) — so a push into the floor is
+            # resolved by the triangle solver in the SAME substep instead
+            # of accumulating until the body tunnels out of the world.
+            ccx3, ccy3, ccz3 = g.quat_rotate_soa(dqx, dqy, dqz, dqw, dcx, dcy, dcz)
+            ccx3, ccy3, ccz3 = ccx3 + dpx, ccy3 + dpy, ccz3 + dpz
+            sy0 = ppy - CAPSULE_HALF_HEIGHT
+            sy1 = ppy + CAPSULE_HALF_HEIGHT
+            qpx, qpy, qpz = g.closest_point_on_vseg_soa(ccx3, ccy3, ccz3, ppx[None], sy0[None], sy1[None], ppz[None])
+            dxp, dyp, dzp = ccx3 - qpx, ccy3 - qpy, ccz3 - qpz
+            pnx2, pny2, pnz2, pd = g.normalize3(dxp, dyp, dzp)
+            rs = _support_toward(dqx, dqy, dqz, dqw, dhx * 1.0, dhy * 1.0, dhz * 1.0,
+                                 pnx2, pny2, pnz2, verts=d_verts, is_box=d_is_box)
+            cdepth = jnp.where(on, 0.9 * rs + CAPSULE_RADIUS - pd, -jnp.inf)
+            inv_m_player = 1.0 / CHARACTER_MASS
+            rel_v = (dvx - pvx[None]) * pnx2 + (dvy - pvy[None]) * pny2 + (dvz - pvz[None]) * pnz2
+            jn = jnp.where((cdepth > 0) & (rel_v < 0), -rel_v / (d_inv_m + inv_m_player + 1e-9), 0.0)
+            dvx = dvx + pnx2 * jn * d_inv_m
+            dvy = dvy + pny2 * jn * d_inv_m
+            dvz = dvz + pnz2 * jn * d_inv_m
+            pp = jnp.maximum(cdepth - PENETRATION_SLOP, 0.0) * 0.5 * ((cdepth > PENETRATION_SLOP) & on)
+            dpx = dpx + pnx2 * pp
+            dpy = dpy + pny2 * pp
+            dpz = dpz + pnz2 * pp
+
+            # box centers
+            ccx, ccy, ccz = g.quat_rotate_soa(dqx, dqy, dqz, dqw, dcx, dcy, dcz)
+            ccx, ccy, ccz = ccx + dpx, ccy + dpy, ccz + dpz
+
+            # ------------------- recompute manifold depths at the live pose
+            e2m = lambda a_: a_[:, None, :]
+            r_sup_k = _support_toward(
+                e2m(dqx), e2m(dqy), e2m(dqz), e2m(dqw),
+                e2m(dhx * 1.0), e2m(dhy * 1.0), e2m(dhz * 1.0), c_nx, c_ny, c_nz,
+                verts=d_verts, is_box=d_is_box,
             )
-            return dvx + 0.0, dvy + 0.0, dvz + 0.0, dwx + wx_, dwy + wy_, dwz + wz_
-
-        def solver_iter(_, vo):
-            dvx, dvy, dvz, dwx, dwy, dwz = vo
-            e2 = lambda a: a[:, None, :]
-            rx_ = c_px - e2(ccx)
-            ry_ = c_py - e2(ccy)
-            rz_ = c_pz - e2(ccz)
-            # v_pt = v + w x r
-            vptx = e2(dvx) + e2(dwy) * rz_ - e2(dwz) * ry_
-            vpty = e2(dvy) + e2(dwz) * rx_ - e2(dwx) * rz_
-            vptz = e2(dvz) + e2(dwx) * ry_ - e2(dwy) * rx_
-            vn = g.dot3(vptx, vpty, vptz, c_nx, c_ny, c_nz)
-            rxnx, rxny, rxnz = g.cross3(rx_, ry_, rz_, c_nx, c_ny, c_nz)
-            ax_, ay_, az_ = rot_inv_apply(
-                e2(dqx), e2(dqy), e2(dqz), e2(dqw), e2(iIx), e2(iIy), e2(iIz), rxnx, rxny, rxnz
+            signed_k = (
+                (e2m(ccx) - c_px) * c_nx + (e2m(ccy) - c_py) * c_ny + (e2m(ccz) - c_pz) * c_nz
             )
-            axr_x, axr_y, axr_z = g.cross3(ax_, ay_, az_, rx_, ry_, rz_)
-            k_n = d_inv_m[:, None, :] + g.dot3(axr_x, axr_y, axr_z, c_nx, c_ny, c_nz)
-            jn = jnp.where(active & (vn < 0), -vn / jnp.maximum(k_n, 1e-9), 0.0) * RELAX
-            impx, impy, impz = c_nx * jn, c_ny * jn, c_nz * jn
-            dvx = dvx + jnp.sum(impx, 1) * d_inv_m
-            dvy = dvy + jnp.sum(impy, 1) * d_inv_m
-            dvz = dvz + jnp.sum(impz, 1) * d_inv_m
-            tqx, tqy, tqz = g.cross3(rx_, ry_, rz_, impx, impy, impz)
-            wx_, wy_, wz_ = rot_inv_apply(
-                e2(dqx), e2(dqy), e2(dqz), e2(dqw), e2(iIx), e2(iIy), e2(iIz), tqx, tqy, tqz
-            )
-            dwx = dwx + jnp.sum(wx_, 1)
-            dwy = dwy + jnp.sum(wy_, 1)
-            dwz = dwz + jnp.sum(wz_, 1)
+            c_d = jnp.where(cand_live & e2m(on), r_sup_k - signed_k, -jnp.inf)
+            active = c_d > 0.0
+            # centroid of the active manifold (same argument as the pair
+            # solver: the aggregate push of a coherent K-point manifold is
+            # central, so per-point impulses with lever-arm effective masses
+            # under-apply; a sequential centroid pre-pass takes the bulk and
+            # leaves only rocking residuals to the per-point Jacobi sweeps)
+            t_actf = active.astype(jnp.float32)
+            t_nact = jnp.maximum(jnp.sum(t_actf, 1), 1.0)  # [D, B]
+            t_any = jnp.any(active, 1)
+            tc_px = jnp.sum(c_px * t_actf, 1) / t_nact
+            tc_py = jnp.sum(c_py * t_actf, 1) / t_nact
+            tc_pz = jnp.sum(c_pz * t_actf, 1) / t_nact
+            tnx0 = jnp.sum(c_nx * t_actf, 1)
+            tny0 = jnp.sum(c_ny * t_actf, 1)
+            tnz0 = jnp.sum(c_nz * t_actf, 1)
+            tnx, tny, tnz, tnl = g.normalize3(tnx0, tny0, tnz0)
+            coherent = t_any & (tnl > 0.5 * t_nact)  # skip mixed-normal wedges
+            tnx = jnp.where(coherent, tnx, 0.0)
+            tny = jnp.where(coherent, tny, 1.0)
+            tnz = jnp.where(coherent, tnz, 0.0)
 
-            # friction
-            vptx = e2(dvx) + e2(dwy) * rz_ - e2(dwz) * ry_
-            vpty = e2(dvy) + e2(dwz) * rx_ - e2(dwx) * rz_
-            vptz = e2(dvz) + e2(dwx) * ry_ - e2(dwy) * rx_
-            vn2 = g.dot3(vptx, vpty, vptz, c_nx, c_ny, c_nz)
-            vtx = vptx - c_nx * vn2
-            vty = vpty - c_ny * vn2
-            vtz = vptz - c_nz * vn2
-            tdx, tdy, tdz, vt_mag = g.normalize3(vtx, vty, vtz)
-            rxtx, rxty, rxtz = g.cross3(rx_, ry_, rz_, tdx, tdy, tdz)
-            at_x, at_y, at_z = rot_inv_apply(
-                e2(dqx), e2(dqy), e2(dqz), e2(dqw), e2(iIx), e2(iIy), e2(iIz), rxtx, rxty, rxtz
-            )
-            atr_x, atr_y, atr_z = g.cross3(at_x, at_y, at_z, rx_, ry_, rz_)
-            k_t = d_inv_m[:, None, :] + g.dot3(atr_x, atr_y, atr_z, tdx, tdy, tdz)
-            jt_needed = vt_mag / jnp.maximum(k_t, 1e-9)
-            jt = jnp.where(active, jnp.minimum(jt_needed, d_mu[:, None, :] * jnp.maximum(jn, 0.0)), 0.0)
-            fx, fy, fz = -tdx * jt * RELAX, -tdy * jt * RELAX, -tdz * jt * RELAX
-            dvx = dvx + jnp.sum(fx, 1) * d_inv_m
-            dvy = dvy + jnp.sum(fy, 1) * d_inv_m
-            dvz = dvz + jnp.sum(fz, 1) * d_inv_m
-            tqx, tqy, tqz = g.cross3(rx_, ry_, rz_, fx, fy, fz)
-            wx_, wy_, wz_ = rot_inv_apply(
-                e2(dqx), e2(dqy), e2(dqz), e2(dqw), e2(iIx), e2(iIy), e2(iIz), tqx, tqy, tqz
-            )
-            dwx = dwx + jnp.sum(wx_, 1)
-            dwy = dwy + jnp.sum(wy_, 1)
-            dwz = dwz + jnp.sum(wz_, 1)
-            return dvx, dvy, dvz, dwx, dwy, dwz
-
-        def tri_iter(i_, vo):
-            return solver_iter(i_, tri_centroid_pass(vo))
-
-        # positional push averaged over the manifold (one contact patch;
-        # summing over-pushed K-point face manifolds K-fold and bounced)
-        over = jnp.maximum(c_d - PENETRATION_SLOP, 0.0) * BAUMGARTE
-        dpx = dpx + jnp.sum(c_nx * over, 1) / t_nact
-        dpy = dpy + jnp.sum(c_ny * over, 1) / t_nact
-        dpz = dpz + jnp.sum(c_nz * over, 1) / t_nact
-
-        def loop_tri_only(c):
-            # no live pair candidates this tick: pure fused triangle solve
-            if _unroll_loops():
-                for _i in range(SOLVER_ITERS):
-                    c = tri_iter(_i, c)
-            else:
-                c = jax.lax.fori_loop(0, SOLVER_ITERS, tri_iter, c)
-            zz = jnp.zeros_like(dpx)
-            return c + (zz, zz, zz)
-
-        def loop_with_pairs(c):
-            # ------------------- pair contacts (compacted SAT manifolds) -----
-            # Depths re-project by center translation along the cached normal;
-            # the full two-body solve (normal + friction impulses with angular
-            # terms on both sides) runs on the [P, K2, B] manifold, with
-            # pair->dyn-lane routing as one-hot MXU contractions.
-            ccx2, ccy2, ccz2 = g.quat_rotate_soa(dqx, dqy, dqz, dqw, dcx, dcy, dcz)
-            ccx2, ccy2, ccz2 = ccx2 + dpx, ccy2 + dpy, ccz2 + dpz
-            gAh = lambda a: jnp.einsum("db,pdb->pb", a, ohA)
-            gBh = lambda a: jnp.einsum("db,pdb->pb", a, ohB)
-            cA_tx, cA_ty, cA_tz = gAh(ccx2), gAh(ccy2), gAh(ccz2)
-            nb_f = 1.0 - b_dynf
-            cB_tx = gBh(ccx2) + pB_cx * nb_f
-            cB_ty = gBh(ccy2) + pB_cy * nb_f
-            cB_tz = gBh(ccz2) + pB_cz * nb_f
-            shift_p = (
-                (cA_tx - pA_cx - (cB_tx - pB_cx)) * pn2_x
-                + (cA_ty - pA_cy - (cB_ty - pB_cy)) * pn2_y
-                + (cA_tz - pA_cz - (cB_tz - pB_cz)) * pn2_z
-            )
-            pd_k = pd0 - shift_p[:, None, :]
-            pact = pcand_live & (pd_k > 0.0)
-            e4 = lambda a: a[:, None, :]  # [P, B] -> [P, 1, B]
-            rAx = pp_x - e4(cA_tx)
-            rAy = pp_y - e4(cA_ty)
-            rAz = pp_z - e4(cA_tz)
-            rBx = pp_x - e4(cB_tx)
-            rBy = pp_y - e4(cB_ty)
-            rBz = pp_z - e4(cB_tz)
-            nkx, nky, nkz = e4(pn2_x), e4(pn2_y), e4(pn2_z)
-            # normal effective mass (constant over iterations)
-            rxnAx, rxnAy, rxnAz = g.cross3(rAx, rAy, rAz, nkx, nky, nkz)
-            iAx, iAy, iAz = rot_inv_apply(
-                e4(pA_qx), e4(pA_qy), e4(pA_qz), e4(pA_qw),
-                e4(a_iIx), e4(a_iIy), e4(a_iIz), rxnAx, rxnAy, rxnAz,
-            )
-            cAx_, cAy_, cAz_ = g.cross3(iAx, iAy, iAz, rAx, rAy, rAz)
-            kA_n = g.dot3(cAx_, cAy_, cAz_, nkx, nky, nkz)
-            rxnBx, rxnBy, rxnBz = g.cross3(rBx, rBy, rBz, nkx, nky, nkz)
-            iBx, iBy, iBz = rot_inv_apply(
-                e4(pB_qx), e4(pB_qy), e4(pB_qz), e4(pB_qw),
-                e4(b_iIx), e4(b_iIy), e4(b_iIz), rxnBx, rxnBy, rxnBz,
-            )
-            cBx_, cBy_, cBz_ = g.cross3(iBx, iBy, iBz, rBx, rBy, rBz)
-            kB_n = g.dot3(cBx_, cBy_, cBz_, nkx, nky, nkz)
-            k_pair = e4(a_invm + b_invm) + kA_n + kB_n
-
-            n_act = jnp.maximum(jnp.sum(pact, axis=1, keepdims=True).astype(jnp.float32), 1.0)
-            actf = pact.astype(jnp.float32)
-            # manifold centroid: the aggregate push of a symmetric K-point face
-            # manifold is CENTRAL (per-corner angular terms cancel), so solving
-            # per-corner with k = invM + angular under-applies ~4x (springy
-            # stacks that eventually explode). A centroid pre-pass takes the
-            # bulk of the normal velocity with the correct central effective
-            # mass; the per-point Gauss-Seidel pass after it only handles the
-            # small rocking/torque residuals (so its lever-arm asymmetry stays
-            # harmless). This mirrors Jolt's many-iteration sequential solver
-            # at a fixed, TPU-friendly op count.
-            anyact = jnp.any(pact, axis=1)  # [P, B]
-            cen_x = jnp.sum(pp_x * actf, 1) / n_act[:, 0, :]
-            cen_y = jnp.sum(pp_y * actf, 1) / n_act[:, 0, :]
-            cen_z = jnp.sum(pp_z * actf, 1) / n_act[:, 0, :]
-
-            def pair_iter(_, carry):
-                dvx, dvy, dvz, dwx, dwy, dwz = carry
-                vAx0, vAy0, vAz0 = gAh(dvx), gAh(dvy), gAh(dvz)
-                wAx0, wAy0, wAz0 = gAh(dwx), gAh(dwy), gAh(dwz)
-                vBx0 = gBh(dvx) + vkBx
-                vBy0 = gBh(dvy) + vkBy
-                vBz0 = gBh(dvz) + vkBz
-                wBx0, wBy0, wBz0 = gBh(dwx), gBh(dwy), gBh(dwz)
-                st_ = [vAx0, vAy0, vAz0, wAx0, wAy0, wAz0,
-                       vBx0, vBy0, vBz0, wBx0, wBy0, wBz0]
-
-                def solve_point(st_, rax, ray, raz, rbx, rby, rbz, act_k, with_friction=True):
-                    vAx, vAy, vAz, wAx, wAy, wAz, vBx, vBy, vBz, wBx, wBy, wBz = st_
-
-                    def rel_at():
-                        relx = vAx + wAy * raz - wAz * ray - (vBx + wBy * rbz - wBz * rby)
-                        rely = vAy + wAz * rax - wAx * raz - (vBy + wBz * rbx - wBx * rbz)
-                        relz = vAz + wAx * ray - wAy * rax - (vBz + wBx * rby - wBy * rbx)
-                        return relx, rely, relz
-
-                    def keff(dx_, dy_, dz_):
-                        rxk, ryk, rzk = g.cross3(rax, ray, raz, dx_, dy_, dz_)
-                        fx_, fy_, fz_ = rot_inv_apply(
-                            pA_qx, pA_qy, pA_qz, pA_qw, a_iIx, a_iIy, a_iIz, rxk, ryk, rzk
-                        )
-                        fx_, fy_, fz_ = g.cross3(fx_, fy_, fz_, rax, ray, raz)
-                        k_ = a_invm + b_invm + fx_ * dx_ + fy_ * dy_ + fz_ * dz_
-                        rxk, ryk, rzk = g.cross3(rbx, rby, rbz, dx_, dy_, dz_)
-                        fx_, fy_, fz_ = rot_inv_apply(
-                            pB_qx, pB_qy, pB_qz, pB_qw, b_iIx, b_iIy, b_iIz, rxk, ryk, rzk
-                        )
-                        fx_, fy_, fz_ = g.cross3(fx_, fy_, fz_, rbx, rby, rbz)
-                        return k_ + fx_ * dx_ + fy_ * dy_ + fz_ * dz_
-
-                    def apply_(st_, ix_, iy_, iz_):
-                        vAx, vAy, vAz, wAx, wAy, wAz, vBx, vBy, vBz, wBx, wBy, wBz = st_
-                        vAx, vAy, vAz = vAx + ix_ * a_invm, vAy + iy_ * a_invm, vAz + iz_ * a_invm
-                        tqx, tqy, tqz = g.cross3(rax, ray, raz, ix_, iy_, iz_)
-                        ax_, ay_, az_ = rot_inv_apply(
-                            pA_qx, pA_qy, pA_qz, pA_qw, a_iIx, a_iIy, a_iIz, tqx, tqy, tqz
-                        )
-                        wAx, wAy, wAz = wAx + ax_, wAy + ay_, wAz + az_
-                        vBx, vBy, vBz = vBx - ix_ * b_invm, vBy - iy_ * b_invm, vBz - iz_ * b_invm
-                        tqx, tqy, tqz = g.cross3(rbx, rby, rbz, -ix_, -iy_, -iz_)
-                        bx_, by_, bz_ = rot_inv_apply(
-                            pB_qx, pB_qy, pB_qz, pB_qw, b_iIx, b_iIy, b_iIz, tqx, tqy, tqz
-                        )
-                        return [vAx, vAy, vAz, wAx, wAy, wAz,
-                                vBx, vBy, vBz, wBx + bx_, wBy + by_, wBz + bz_]
-
-                    relx, rely, relz = rel_at()
-                    vn = relx * pn2_x + rely * pn2_y + relz * pn2_z
-                    k_n = keff(pn2_x, pn2_y, pn2_z)
-                    jn = jnp.where(act_k & (vn < 0), -vn / jnp.maximum(k_n, 1e-9), 0.0) * RELAX
-                    st_ = apply_(st_, pn2_x * jn, pn2_y * jn, pn2_z * jn)
-                    if with_friction:
-                        vAx, vAy, vAz, wAx, wAy, wAz, vBx, vBy, vBz, wBx, wBy, wBz = st_
-                        relx, rely, relz = rel_at()
-                        vn2 = relx * pn2_x + rely * pn2_y + relz * pn2_z
-                        vtx = relx - pn2_x * vn2
-                        vty = rely - pn2_y * vn2
-                        vtz = relz - pn2_z * vn2
-                        tdx, tdy, tdz, vt_mag = g.normalize3(vtx, vty, vtz)
-                        k_t = keff(tdx, tdy, tdz)
-                        jt = jnp.where(
-                            act_k,
-                            jnp.minimum(
-                                vt_mag / jnp.maximum(k_t, 1e-9),
-                                a_mu_p * jnp.maximum(jn, 0.0),
-                            ),
-                            0.0,
-                        ) * RELAX
-                        st_ = apply_(st_, -tdx * jt, -tdy * jt, -tdz * jt)
-                    return st_
-
-                # centroid pre-pass (bulk of the normal impulse, central mass)
-                st_ = solve_point(
-                    st_,
-                    cen_x - cA_tx, cen_y - cA_ty, cen_z - cA_tz,
-                    cen_x - cB_tx, cen_y - cB_ty, cen_z - cB_tz,
-                    anyact,
+            def tri_centroid_pass(vo):
+                dvx, dvy, dvz, dwx, dwy, dwz = vo
+                rx_ = tc_px - ccx
+                ry_ = tc_py - ccy
+                rz_ = tc_pz - ccz
+                vptx = dvx + dwy * rz_ - dwz * ry_
+                vpty = dvy + dwz * rx_ - dwx * rz_
+                vptz = dvz + dwx * ry_ - dwy * rx_
+                vn = vptx * tnx + vpty * tny + vptz * tnz
+                rxn_x, rxn_y, rxn_z = g.cross3(rx_, ry_, rz_, tnx, tny, tnz)
+                ia_x, ia_y, ia_z = rot_inv_apply(
+                    dqx, dqy, dqz, dqw, iIx, iIy, iIz, rxn_x, rxn_y, rxn_z
                 )
-                # per-point JACOBI from the post-centroid state (rocking /
-                # torque residuals). All points see the same velocities, so a
-                # symmetric manifold at rest produces exactly equal impulses
-                # and ZERO net torque — a sequential order would bias a fixed
-                # torque direction every tick and steadily spin stacks up. The
-                # antisymmetric (rocking) components have opposite signs and
-                # don't compound; the symmetric residual is small because the
-                # centroid pass already took the mean normal velocity.
-                vAx, vAy, vAz, wAx, wAy, wAz, vBx, vBy, vBz, wBx, wBy, wBz = st_
-                relx = (
-                    e4(vAx) + e4(wAy) * rAz - e4(wAz) * rAy
-                    - (e4(vBx) + e4(wBy) * rBz - e4(wBz) * rBy)
-                )
-                rely = (
-                    e4(vAy) + e4(wAz) * rAx - e4(wAx) * rAz
-                    - (e4(vBy) + e4(wBz) * rBx - e4(wBx) * rBz)
-                )
-                relz = (
-                    e4(vAz) + e4(wAx) * rAy - e4(wAy) * rAx
-                    - (e4(vBz) + e4(wBx) * rBy - e4(wBy) * rBx)
-                )
-                vn = relx * nkx + rely * nky + relz * nkz
-                jn = jnp.where(pact & (vn < 0), -vn / jnp.maximum(k_pair, 1e-9), 0.0) * RELAX
-                ix_, iy_, iz_ = nkx * jn, nky * jn, nkz * jn
-                # friction per point against the pre-impulse tangential motion
-                vtx = relx - nkx * vn
-                vty = rely - nky * vn
-                vtz = relz - nkz * vn
+                ca_x, ca_y, ca_z = g.cross3(ia_x, ia_y, ia_z, rx_, ry_, rz_)
+                k_n = d_inv_m + ca_x * tnx + ca_y * tny + ca_z * tnz
+                jn = jnp.where(coherent & (vn < 0), -vn / jnp.maximum(k_n, 1e-9), 0.0) * RELAX
+                ix_, iy_, iz_ = tnx * jn, tny * jn, tnz * jn
+                # friction at the centroid
+                vtx = vptx - tnx * vn
+                vty = vpty - tny * vn
+                vtz = vptz - tnz * vn
                 tdx, tdy, tdz, vt_mag = g.normalize3(vtx, vty, vtz)
-                rxk, ryk, rzk = g.cross3(rAx, rAy, rAz, tdx, tdy, tdz)
-                fx_, fy_, fz_ = rot_inv_apply(
-                    e4(pA_qx), e4(pA_qy), e4(pA_qz), e4(pA_qw),
-                    e4(a_iIx), e4(a_iIy), e4(a_iIz), rxk, ryk, rzk,
+                rxt_x, rxt_y, rxt_z = g.cross3(rx_, ry_, rz_, tdx, tdy, tdz)
+                ft_x, ft_y, ft_z = rot_inv_apply(
+                    dqx, dqy, dqz, dqw, iIx, iIy, iIz, rxt_x, rxt_y, rxt_z
                 )
-                fx_, fy_, fz_ = g.cross3(fx_, fy_, fz_, rAx, rAy, rAz)
-                k_t = e4(a_invm + b_invm) + fx_ * tdx + fy_ * tdy + fz_ * tdz
-                rxk, ryk, rzk = g.cross3(rBx, rBy, rBz, tdx, tdy, tdz)
-                fx_, fy_, fz_ = rot_inv_apply(
-                    e4(pB_qx), e4(pB_qy), e4(pB_qz), e4(pB_qw),
-                    e4(b_iIx), e4(b_iIy), e4(b_iIz), rxk, ryk, rzk,
-                )
-                fx_, fy_, fz_ = g.cross3(fx_, fy_, fz_, rBx, rBy, rBz)
-                k_t = k_t + fx_ * tdx + fy_ * tdy + fz_ * tdz
+                ct_x, ct_y, ct_z = g.cross3(ft_x, ft_y, ft_z, rx_, ry_, rz_)
+                k_t = d_inv_m + ct_x * tdx + ct_y * tdy + ct_z * tdz
                 jt = jnp.where(
-                    pact,
-                    jnp.minimum(vt_mag / jnp.maximum(k_t, 1e-9), e4(a_mu_p) * jnp.maximum(jn, 0.0)),
+                    coherent,
+                    jnp.minimum(vt_mag / jnp.maximum(k_t, 1e-9), d_mu * jnp.maximum(jn, 0.0)),
                     0.0,
                 ) * RELAX
                 ix_, iy_, iz_ = ix_ - tdx * jt, iy_ - tdy * jt, iz_ - tdz * jt
-                # apply the summed point impulses to the pair-local state
-                sx_, sy_, sz_ = jnp.sum(ix_, 1), jnp.sum(iy_, 1), jnp.sum(iz_, 1)
-                vAx, vAy, vAz = vAx + sx_ * a_invm, vAy + sy_ * a_invm, vAz + sz_ * a_invm
-                tqx, tqy, tqz = g.cross3(rAx, rAy, rAz, ix_, iy_, iz_)
-                ax_, ay_, az_ = rot_inv_apply(
-                    e4(pA_qx), e4(pA_qy), e4(pA_qz), e4(pA_qw),
-                    e4(a_iIx), e4(a_iIy), e4(a_iIz), tqx, tqy, tqz,
+                dvx = dvx + ix_ * d_inv_m
+                dvy = dvy + iy_ * d_inv_m
+                dvz = dvz + iz_ * d_inv_m
+                tqx, tqy, tqz = g.cross3(rx_, ry_, rz_, ix_, iy_, iz_)
+                wx_, wy_, wz_ = rot_inv_apply(
+                    dqx, dqy, dqz, dqw, iIx, iIy, iIz, tqx, tqy, tqz
                 )
-                wAx = wAx + jnp.sum(ax_, 1)
-                wAy = wAy + jnp.sum(ay_, 1)
-                wAz = wAz + jnp.sum(az_, 1)
-                vBx, vBy, vBz = vBx - sx_ * b_invm, vBy - sy_ * b_invm, vBz - sz_ * b_invm
-                tqx, tqy, tqz = g.cross3(rBx, rBy, rBz, -ix_, -iy_, -iz_)
-                bx_, by_, bz_ = rot_inv_apply(
-                    e4(pB_qx), e4(pB_qy), e4(pB_qz), e4(pB_qw),
-                    e4(b_iIx), e4(b_iIy), e4(b_iIz), tqx, tqy, tqz,
-                )
-                wBx = wBx + jnp.sum(bx_, 1)
-                wBy = wBy + jnp.sum(by_, 1)
-                wBz = wBz + jnp.sum(bz_, 1)
-                st_ = [vAx, vAy, vAz, wAx, wAy, wAz, vBx, vBy, vBz, wBx, wBy, wBz]
+                return dvx + 0.0, dvy + 0.0, dvz + 0.0, dwx + wx_, dwy + wy_, dwz + wz_
 
-                vAx, vAy, vAz, wAx, wAy, wAz, vBx, vBy, vBz, wBx, wBy, wBz = st_
-                dvx = dvx + jnp.einsum("pb,pdb->db", vAx - vAx0, ohA)
-                dvy = dvy + jnp.einsum("pb,pdb->db", vAy - vAy0, ohA)
-                dvz = dvz + jnp.einsum("pb,pdb->db", vAz - vAz0, ohA)
-                dwx = dwx + jnp.einsum("pb,pdb->db", wAx - wAx0, ohA)
-                dwy = dwy + jnp.einsum("pb,pdb->db", wAy - wAy0, ohA)
-                dwz = dwz + jnp.einsum("pb,pdb->db", wAz - wAz0, ohA)
-                dvx = dvx + jnp.einsum("pb,pdb->db", vBx - vBx0, ohB)
-                dvy = dvy + jnp.einsum("pb,pdb->db", vBy - vBy0, ohB)
-                dvz = dvz + jnp.einsum("pb,pdb->db", vBz - vBz0, ohB)
-                dwx = dwx + jnp.einsum("pb,pdb->db", wBx - wBx0, ohB)
-                dwy = dwy + jnp.einsum("pb,pdb->db", wBy - wBy0, ohB)
-                dwz = dwz + jnp.einsum("pb,pdb->db", wBz - wBz0, ohB)
+            def solver_iter(_, vo):
+                dvx, dvy, dvz, dwx, dwy, dwz = vo
+                e2 = lambda a: a[:, None, :]
+                rx_ = c_px - e2(ccx)
+                ry_ = c_py - e2(ccy)
+                rz_ = c_pz - e2(ccz)
+                # v_pt = v + w x r
+                vptx = e2(dvx) + e2(dwy) * rz_ - e2(dwz) * ry_
+                vpty = e2(dvy) + e2(dwz) * rx_ - e2(dwx) * rz_
+                vptz = e2(dvz) + e2(dwx) * ry_ - e2(dwy) * rx_
+                vn = g.dot3(vptx, vpty, vptz, c_nx, c_ny, c_nz)
+                rxnx, rxny, rxnz = g.cross3(rx_, ry_, rz_, c_nx, c_ny, c_nz)
+                ax_, ay_, az_ = rot_inv_apply(
+                    e2(dqx), e2(dqy), e2(dqz), e2(dqw), e2(iIx), e2(iIy), e2(iIz), rxnx, rxny, rxnz
+                )
+                axr_x, axr_y, axr_z = g.cross3(ax_, ay_, az_, rx_, ry_, rz_)
+                k_n = d_inv_m[:, None, :] + g.dot3(axr_x, axr_y, axr_z, c_nx, c_ny, c_nz)
+                jn = jnp.where(active & (vn < 0), -vn / jnp.maximum(k_n, 1e-9), 0.0) * RELAX
+                impx, impy, impz = c_nx * jn, c_ny * jn, c_nz * jn
+                dvx = dvx + jnp.sum(impx, 1) * d_inv_m
+                dvy = dvy + jnp.sum(impy, 1) * d_inv_m
+                dvz = dvz + jnp.sum(impz, 1) * d_inv_m
+                tqx, tqy, tqz = g.cross3(rx_, ry_, rz_, impx, impy, impz)
+                wx_, wy_, wz_ = rot_inv_apply(
+                    e2(dqx), e2(dqy), e2(dqz), e2(dqw), e2(iIx), e2(iIy), e2(iIz), tqx, tqy, tqz
+                )
+                dwx = dwx + jnp.sum(wx_, 1)
+                dwy = dwy + jnp.sum(wy_, 1)
+                dwz = dwz + jnp.sum(wz_, 1)
+
+                # friction
+                vptx = e2(dvx) + e2(dwy) * rz_ - e2(dwz) * ry_
+                vpty = e2(dvy) + e2(dwz) * rx_ - e2(dwx) * rz_
+                vptz = e2(dvz) + e2(dwx) * ry_ - e2(dwy) * rx_
+                vn2 = g.dot3(vptx, vpty, vptz, c_nx, c_ny, c_nz)
+                vtx = vptx - c_nx * vn2
+                vty = vpty - c_ny * vn2
+                vtz = vptz - c_nz * vn2
+                tdx, tdy, tdz, vt_mag = g.normalize3(vtx, vty, vtz)
+                rxtx, rxty, rxtz = g.cross3(rx_, ry_, rz_, tdx, tdy, tdz)
+                at_x, at_y, at_z = rot_inv_apply(
+                    e2(dqx), e2(dqy), e2(dqz), e2(dqw), e2(iIx), e2(iIy), e2(iIz), rxtx, rxty, rxtz
+                )
+                atr_x, atr_y, atr_z = g.cross3(at_x, at_y, at_z, rx_, ry_, rz_)
+                k_t = d_inv_m[:, None, :] + g.dot3(atr_x, atr_y, atr_z, tdx, tdy, tdz)
+                jt_needed = vt_mag / jnp.maximum(k_t, 1e-9)
+                jt = jnp.where(active, jnp.minimum(jt_needed, d_mu[:, None, :] * jnp.maximum(jn, 0.0)), 0.0)
+                fx, fy, fz = -tdx * jt * RELAX, -tdy * jt * RELAX, -tdz * jt * RELAX
+                dvx = dvx + jnp.sum(fx, 1) * d_inv_m
+                dvy = dvy + jnp.sum(fy, 1) * d_inv_m
+                dvz = dvz + jnp.sum(fz, 1) * d_inv_m
+                tqx, tqy, tqz = g.cross3(rx_, ry_, rz_, fx, fy, fz)
+                wx_, wy_, wz_ = rot_inv_apply(
+                    e2(dqx), e2(dqy), e2(dqz), e2(dqw), e2(iIx), e2(iIy), e2(iIz), tqx, tqy, tqz
+                )
+                dwx = dwx + jnp.sum(wx_, 1)
+                dwy = dwy + jnp.sum(wy_, 1)
+                dwz = dwz + jnp.sum(wz_, 1)
                 return dvx, dvy, dvz, dwx, dwy, dwz
 
-            def all_iter(i_, vo):
-                vo = tri_iter(i_, vo)
-                if pairs_enabled:
-                    vo = pair_iter(i_, vo)
-                return vo
+            def tri_iter(i_, vo):
+                return solver_iter(i_, tri_centroid_pass(vo))
 
-            # On TPU: unrolled (not fori_loop) — iterations are pure elementwise
-            # chains, so XLA fuses across them instead of paying per-iteration
-            # launches. On CPU (the test backend) a rolled loop keeps the
-            # module small enough to compile in seconds.
-            _c = c
-            if _unroll_loops():
-                for _i in range(SOLVER_ITERS):
-                    _c = all_iter(_i, _c)
+            # positional push averaged over the manifold (one contact patch;
+            # summing over-pushed K-point face manifolds K-fold and bounced)
+            over = jnp.maximum(c_d - PENETRATION_SLOP, 0.0) * BAUMGARTE
+            dpx = dpx + jnp.sum(c_nx * over, 1) / t_nact
+            dpy = dpy + jnp.sum(c_ny * over, 1) / t_nact
+            dpz = dpz + jnp.sum(c_nz * over, 1) / t_nact
+
+            def loop_tri_only(c):
+                # no live pair candidates this tick: pure fused triangle solve
+                if _unroll_loops():
+                    for _i in range(SOLVER_ITERS):
+                        c = tri_iter(_i, c)
+                else:
+                    c = jax.lax.fori_loop(0, SOLVER_ITERS, tri_iter, c)
+                zz = jnp.zeros_like(dpx)
+                return c + (zz, zz, zz)
+
+            def loop_with_pairs(c):
+                # ------------------- pair contacts (compacted SAT manifolds) -----
+                # Depths re-project by center translation along the cached normal;
+                # the full two-body solve (normal + friction impulses with angular
+                # terms on both sides) runs on the [P, K2, B] manifold, with
+                # pair->dyn-lane routing as one-hot MXU contractions.
+                ccx2, ccy2, ccz2 = g.quat_rotate_soa(dqx, dqy, dqz, dqw, dcx, dcy, dcz)
+                ccx2, ccy2, ccz2 = ccx2 + dpx, ccy2 + dpy, ccz2 + dpz
+                gAh = lambda a: jnp.einsum("db,pdb->pb", a, ohA)
+                gBh = lambda a: jnp.einsum("db,pdb->pb", a, ohB)
+                cA_tx, cA_ty, cA_tz = gAh(ccx2), gAh(ccy2), gAh(ccz2)
+                nb_f = 1.0 - b_dynf
+                cB_tx = gBh(ccx2) + pB_cx * nb_f
+                cB_ty = gBh(ccy2) + pB_cy * nb_f
+                cB_tz = gBh(ccz2) + pB_cz * nb_f
+                shift_p = (
+                    (cA_tx - pA_cx - (cB_tx - pB_cx)) * pn2_x
+                    + (cA_ty - pA_cy - (cB_ty - pB_cy)) * pn2_y
+                    + (cA_tz - pA_cz - (cB_tz - pB_cz)) * pn2_z
+                )
+                pd_k = pd0 - shift_p[:, None, :]
+                pact = pcand_live & (pd_k > 0.0)
+                e4 = lambda a: a[:, None, :]  # [P, B] -> [P, 1, B]
+                rAx = pp_x - e4(cA_tx)
+                rAy = pp_y - e4(cA_ty)
+                rAz = pp_z - e4(cA_tz)
+                rBx = pp_x - e4(cB_tx)
+                rBy = pp_y - e4(cB_ty)
+                rBz = pp_z - e4(cB_tz)
+                nkx, nky, nkz = e4(pn2_x), e4(pn2_y), e4(pn2_z)
+                # normal effective mass (constant over iterations)
+                rxnAx, rxnAy, rxnAz = g.cross3(rAx, rAy, rAz, nkx, nky, nkz)
+                iAx, iAy, iAz = rot_inv_apply(
+                    e4(pA_qx), e4(pA_qy), e4(pA_qz), e4(pA_qw),
+                    e4(a_iIx), e4(a_iIy), e4(a_iIz), rxnAx, rxnAy, rxnAz,
+                )
+                cAx_, cAy_, cAz_ = g.cross3(iAx, iAy, iAz, rAx, rAy, rAz)
+                kA_n = g.dot3(cAx_, cAy_, cAz_, nkx, nky, nkz)
+                rxnBx, rxnBy, rxnBz = g.cross3(rBx, rBy, rBz, nkx, nky, nkz)
+                iBx, iBy, iBz = rot_inv_apply(
+                    e4(pB_qx), e4(pB_qy), e4(pB_qz), e4(pB_qw),
+                    e4(b_iIx), e4(b_iIy), e4(b_iIz), rxnBx, rxnBy, rxnBz,
+                )
+                cBx_, cBy_, cBz_ = g.cross3(iBx, iBy, iBz, rBx, rBy, rBz)
+                kB_n = g.dot3(cBx_, cBy_, cBz_, nkx, nky, nkz)
+                k_pair = e4(a_invm + b_invm) + kA_n + kB_n
+
+                n_act = jnp.maximum(jnp.sum(pact, axis=1, keepdims=True).astype(jnp.float32), 1.0)
+                actf = pact.astype(jnp.float32)
+                # manifold centroid: the aggregate push of a symmetric K-point face
+                # manifold is CENTRAL (per-corner angular terms cancel), so solving
+                # per-corner with k = invM + angular under-applies ~4x (springy
+                # stacks that eventually explode). A centroid pre-pass takes the
+                # bulk of the normal velocity with the correct central effective
+                # mass; the per-point Gauss-Seidel pass after it only handles the
+                # small rocking/torque residuals (so its lever-arm asymmetry stays
+                # harmless). This mirrors Jolt's many-iteration sequential solver
+                # at a fixed, TPU-friendly op count.
+                anyact = jnp.any(pact, axis=1)  # [P, B]
+                cen_x = jnp.sum(pp_x * actf, 1) / n_act[:, 0, :]
+                cen_y = jnp.sum(pp_y * actf, 1) / n_act[:, 0, :]
+                cen_z = jnp.sum(pp_z * actf, 1) / n_act[:, 0, :]
+
+                def pair_iter(_, carry):
+                    dvx, dvy, dvz, dwx, dwy, dwz = carry
+                    vAx0, vAy0, vAz0 = gAh(dvx), gAh(dvy), gAh(dvz)
+                    wAx0, wAy0, wAz0 = gAh(dwx), gAh(dwy), gAh(dwz)
+                    vBx0 = gBh(dvx) + vkBx
+                    vBy0 = gBh(dvy) + vkBy
+                    vBz0 = gBh(dvz) + vkBz
+                    wBx0, wBy0, wBz0 = gBh(dwx), gBh(dwy), gBh(dwz)
+                    st_ = [vAx0, vAy0, vAz0, wAx0, wAy0, wAz0,
+                           vBx0, vBy0, vBz0, wBx0, wBy0, wBz0]
+
+                    def solve_point(st_, rax, ray, raz, rbx, rby, rbz, act_k, with_friction=True):
+                        vAx, vAy, vAz, wAx, wAy, wAz, vBx, vBy, vBz, wBx, wBy, wBz = st_
+
+                        def rel_at():
+                            relx = vAx + wAy * raz - wAz * ray - (vBx + wBy * rbz - wBz * rby)
+                            rely = vAy + wAz * rax - wAx * raz - (vBy + wBz * rbx - wBx * rbz)
+                            relz = vAz + wAx * ray - wAy * rax - (vBz + wBx * rby - wBy * rbx)
+                            return relx, rely, relz
+
+                        def keff(dx_, dy_, dz_):
+                            rxk, ryk, rzk = g.cross3(rax, ray, raz, dx_, dy_, dz_)
+                            fx_, fy_, fz_ = rot_inv_apply(
+                                pA_qx, pA_qy, pA_qz, pA_qw, a_iIx, a_iIy, a_iIz, rxk, ryk, rzk
+                            )
+                            fx_, fy_, fz_ = g.cross3(fx_, fy_, fz_, rax, ray, raz)
+                            k_ = a_invm + b_invm + fx_ * dx_ + fy_ * dy_ + fz_ * dz_
+                            rxk, ryk, rzk = g.cross3(rbx, rby, rbz, dx_, dy_, dz_)
+                            fx_, fy_, fz_ = rot_inv_apply(
+                                pB_qx, pB_qy, pB_qz, pB_qw, b_iIx, b_iIy, b_iIz, rxk, ryk, rzk
+                            )
+                            fx_, fy_, fz_ = g.cross3(fx_, fy_, fz_, rbx, rby, rbz)
+                            return k_ + fx_ * dx_ + fy_ * dy_ + fz_ * dz_
+
+                        def apply_(st_, ix_, iy_, iz_):
+                            vAx, vAy, vAz, wAx, wAy, wAz, vBx, vBy, vBz, wBx, wBy, wBz = st_
+                            vAx, vAy, vAz = vAx + ix_ * a_invm, vAy + iy_ * a_invm, vAz + iz_ * a_invm
+                            tqx, tqy, tqz = g.cross3(rax, ray, raz, ix_, iy_, iz_)
+                            ax_, ay_, az_ = rot_inv_apply(
+                                pA_qx, pA_qy, pA_qz, pA_qw, a_iIx, a_iIy, a_iIz, tqx, tqy, tqz
+                            )
+                            wAx, wAy, wAz = wAx + ax_, wAy + ay_, wAz + az_
+                            vBx, vBy, vBz = vBx - ix_ * b_invm, vBy - iy_ * b_invm, vBz - iz_ * b_invm
+                            tqx, tqy, tqz = g.cross3(rbx, rby, rbz, -ix_, -iy_, -iz_)
+                            bx_, by_, bz_ = rot_inv_apply(
+                                pB_qx, pB_qy, pB_qz, pB_qw, b_iIx, b_iIy, b_iIz, tqx, tqy, tqz
+                            )
+                            return [vAx, vAy, vAz, wAx, wAy, wAz,
+                                    vBx, vBy, vBz, wBx + bx_, wBy + by_, wBz + bz_]
+
+                        relx, rely, relz = rel_at()
+                        vn = relx * pn2_x + rely * pn2_y + relz * pn2_z
+                        k_n = keff(pn2_x, pn2_y, pn2_z)
+                        jn = jnp.where(act_k & (vn < 0), -vn / jnp.maximum(k_n, 1e-9), 0.0) * RELAX
+                        st_ = apply_(st_, pn2_x * jn, pn2_y * jn, pn2_z * jn)
+                        if with_friction:
+                            vAx, vAy, vAz, wAx, wAy, wAz, vBx, vBy, vBz, wBx, wBy, wBz = st_
+                            relx, rely, relz = rel_at()
+                            vn2 = relx * pn2_x + rely * pn2_y + relz * pn2_z
+                            vtx = relx - pn2_x * vn2
+                            vty = rely - pn2_y * vn2
+                            vtz = relz - pn2_z * vn2
+                            tdx, tdy, tdz, vt_mag = g.normalize3(vtx, vty, vtz)
+                            k_t = keff(tdx, tdy, tdz)
+                            jt = jnp.where(
+                                act_k,
+                                jnp.minimum(
+                                    vt_mag / jnp.maximum(k_t, 1e-9),
+                                    a_mu_p * jnp.maximum(jn, 0.0),
+                                ),
+                                0.0,
+                            ) * RELAX
+                            st_ = apply_(st_, -tdx * jt, -tdy * jt, -tdz * jt)
+                        return st_
+
+                    # centroid pre-pass (bulk of the normal impulse, central mass)
+                    st_ = solve_point(
+                        st_,
+                        cen_x - cA_tx, cen_y - cA_ty, cen_z - cA_tz,
+                        cen_x - cB_tx, cen_y - cB_ty, cen_z - cB_tz,
+                        anyact,
+                    )
+                    # per-point JACOBI from the post-centroid state (rocking /
+                    # torque residuals). All points see the same velocities, so a
+                    # symmetric manifold at rest produces exactly equal impulses
+                    # and ZERO net torque — a sequential order would bias a fixed
+                    # torque direction every tick and steadily spin stacks up. The
+                    # antisymmetric (rocking) components have opposite signs and
+                    # don't compound; the symmetric residual is small because the
+                    # centroid pass already took the mean normal velocity.
+                    vAx, vAy, vAz, wAx, wAy, wAz, vBx, vBy, vBz, wBx, wBy, wBz = st_
+                    relx = (
+                        e4(vAx) + e4(wAy) * rAz - e4(wAz) * rAy
+                        - (e4(vBx) + e4(wBy) * rBz - e4(wBz) * rBy)
+                    )
+                    rely = (
+                        e4(vAy) + e4(wAz) * rAx - e4(wAx) * rAz
+                        - (e4(vBy) + e4(wBz) * rBx - e4(wBx) * rBz)
+                    )
+                    relz = (
+                        e4(vAz) + e4(wAx) * rAy - e4(wAy) * rAx
+                        - (e4(vBz) + e4(wBx) * rBy - e4(wBy) * rBx)
+                    )
+                    vn = relx * nkx + rely * nky + relz * nkz
+                    jn = jnp.where(pact & (vn < 0), -vn / jnp.maximum(k_pair, 1e-9), 0.0) * RELAX
+                    ix_, iy_, iz_ = nkx * jn, nky * jn, nkz * jn
+                    # friction per point against the pre-impulse tangential motion
+                    vtx = relx - nkx * vn
+                    vty = rely - nky * vn
+                    vtz = relz - nkz * vn
+                    tdx, tdy, tdz, vt_mag = g.normalize3(vtx, vty, vtz)
+                    rxk, ryk, rzk = g.cross3(rAx, rAy, rAz, tdx, tdy, tdz)
+                    fx_, fy_, fz_ = rot_inv_apply(
+                        e4(pA_qx), e4(pA_qy), e4(pA_qz), e4(pA_qw),
+                        e4(a_iIx), e4(a_iIy), e4(a_iIz), rxk, ryk, rzk,
+                    )
+                    fx_, fy_, fz_ = g.cross3(fx_, fy_, fz_, rAx, rAy, rAz)
+                    k_t = e4(a_invm + b_invm) + fx_ * tdx + fy_ * tdy + fz_ * tdz
+                    rxk, ryk, rzk = g.cross3(rBx, rBy, rBz, tdx, tdy, tdz)
+                    fx_, fy_, fz_ = rot_inv_apply(
+                        e4(pB_qx), e4(pB_qy), e4(pB_qz), e4(pB_qw),
+                        e4(b_iIx), e4(b_iIy), e4(b_iIz), rxk, ryk, rzk,
+                    )
+                    fx_, fy_, fz_ = g.cross3(fx_, fy_, fz_, rBx, rBy, rBz)
+                    k_t = k_t + fx_ * tdx + fy_ * tdy + fz_ * tdz
+                    jt = jnp.where(
+                        pact,
+                        jnp.minimum(vt_mag / jnp.maximum(k_t, 1e-9), e4(a_mu_p) * jnp.maximum(jn, 0.0)),
+                        0.0,
+                    ) * RELAX
+                    ix_, iy_, iz_ = ix_ - tdx * jt, iy_ - tdy * jt, iz_ - tdz * jt
+                    # apply the summed point impulses to the pair-local state
+                    sx_, sy_, sz_ = jnp.sum(ix_, 1), jnp.sum(iy_, 1), jnp.sum(iz_, 1)
+                    vAx, vAy, vAz = vAx + sx_ * a_invm, vAy + sy_ * a_invm, vAz + sz_ * a_invm
+                    tqx, tqy, tqz = g.cross3(rAx, rAy, rAz, ix_, iy_, iz_)
+                    ax_, ay_, az_ = rot_inv_apply(
+                        e4(pA_qx), e4(pA_qy), e4(pA_qz), e4(pA_qw),
+                        e4(a_iIx), e4(a_iIy), e4(a_iIz), tqx, tqy, tqz,
+                    )
+                    wAx = wAx + jnp.sum(ax_, 1)
+                    wAy = wAy + jnp.sum(ay_, 1)
+                    wAz = wAz + jnp.sum(az_, 1)
+                    vBx, vBy, vBz = vBx - sx_ * b_invm, vBy - sy_ * b_invm, vBz - sz_ * b_invm
+                    tqx, tqy, tqz = g.cross3(rBx, rBy, rBz, -ix_, -iy_, -iz_)
+                    bx_, by_, bz_ = rot_inv_apply(
+                        e4(pB_qx), e4(pB_qy), e4(pB_qz), e4(pB_qw),
+                        e4(b_iIx), e4(b_iIy), e4(b_iIz), tqx, tqy, tqz,
+                    )
+                    wBx = wBx + jnp.sum(bx_, 1)
+                    wBy = wBy + jnp.sum(by_, 1)
+                    wBz = wBz + jnp.sum(bz_, 1)
+                    st_ = [vAx, vAy, vAz, wAx, wAy, wAz, vBx, vBy, vBz, wBx, wBy, wBz]
+
+                    vAx, vAy, vAz, wAx, wAy, wAz, vBx, vBy, vBz, wBx, wBy, wBz = st_
+                    dvx = dvx + jnp.einsum("pb,pdb->db", vAx - vAx0, ohA)
+                    dvy = dvy + jnp.einsum("pb,pdb->db", vAy - vAy0, ohA)
+                    dvz = dvz + jnp.einsum("pb,pdb->db", vAz - vAz0, ohA)
+                    dwx = dwx + jnp.einsum("pb,pdb->db", wAx - wAx0, ohA)
+                    dwy = dwy + jnp.einsum("pb,pdb->db", wAy - wAy0, ohA)
+                    dwz = dwz + jnp.einsum("pb,pdb->db", wAz - wAz0, ohA)
+                    dvx = dvx + jnp.einsum("pb,pdb->db", vBx - vBx0, ohB)
+                    dvy = dvy + jnp.einsum("pb,pdb->db", vBy - vBy0, ohB)
+                    dvz = dvz + jnp.einsum("pb,pdb->db", vBz - vBz0, ohB)
+                    dwx = dwx + jnp.einsum("pb,pdb->db", wBx - wBx0, ohB)
+                    dwy = dwy + jnp.einsum("pb,pdb->db", wBy - wBy0, ohB)
+                    dwz = dwz + jnp.einsum("pb,pdb->db", wBz - wBz0, ohB)
+                    return dvx, dvy, dvz, dwx, dwy, dwz
+
+                def all_iter(i_, vo):
+                    vo = tri_iter(i_, vo)
+                    if pairs_enabled:
+                        vo = pair_iter(i_, vo)
+                    return vo
+
+                # On TPU: unrolled (not fori_loop) — iterations are pure elementwise
+                # chains, so XLA fuses across them instead of paying per-iteration
+                # launches. On CPU (the test backend) a rolled loop keeps the
+                # module small enough to compile in seconds.
+                _c = c
+                if _unroll_loops():
+                    for _i in range(SOLVER_ITERS):
+                        _c = all_iter(_i, _c)
+                else:
+                    _c = jax.lax.fori_loop(0, SOLVER_ITERS, all_iter, _c)
+                c = _c
+                dvx, dvy, dvz, dwx, dwy, dwz = c
+                # positional correction, split by inverse mass. Averaged over the
+                # active manifold points (a 4-point face manifold is ONE contact
+                # patch — summing would over-push 4x and bounce the stack).
+                over_p = jnp.where(
+                    pact & pairs_enabled, jnp.maximum(pd_k - PENETRATION_SLOP, 0.0) * BAUMGARTE, 0.0
+                )
+                wsum_p = jnp.maximum(a_invm + b_invm, 1e-9)
+                pux = jnp.sum(nkx * over_p, 1) / n_act[:, 0, :]  # [P, B]
+                puy = jnp.sum(nky * over_p, 1) / n_act[:, 0, :]
+                puz = jnp.sum(nkz * over_p, 1) / n_act[:, 0, :]
+                shareA = a_invm / wsum_p
+                shareB = b_invm / wsum_p
+                pushdx = jnp.einsum("pb,pdb->db", pux * shareA, ohA) - jnp.einsum(
+                    "pb,pdb->db", pux * shareB, ohB
+                )
+                pushdy = jnp.einsum("pb,pdb->db", puy * shareA, ohA) - jnp.einsum(
+                    "pb,pdb->db", puy * shareB, ohB
+                )
+                pushdz = jnp.einsum("pb,pdb->db", puz * shareA, ohA) - jnp.einsum(
+                    "pb,pdb->db", puz * shareB, ohB
+                )
+                return c + (pushdx, pushdy, pushdz)
+
+            _c0 = (dvx, dvy, dvz, dwx, dwy, dwz)
+            if pairs_enabled:
+                outs = jax.lax.cond(pair_any, loop_with_pairs, loop_tri_only, _c0)
             else:
-                _c = jax.lax.fori_loop(0, SOLVER_ITERS, all_iter, _c)
-            c = _c
-            dvx, dvy, dvz, dwx, dwy, dwz = c
-            # positional correction, split by inverse mass. Averaged over the
-            # active manifold points (a 4-point face manifold is ONE contact
-            # patch — summing would over-push 4x and bounce the stack).
-            over_p = jnp.where(
-                pact & pairs_enabled, jnp.maximum(pd_k - PENETRATION_SLOP, 0.0) * BAUMGARTE, 0.0
-            )
-            wsum_p = jnp.maximum(a_invm + b_invm, 1e-9)
-            pux = jnp.sum(nkx * over_p, 1) / n_act[:, 0, :]  # [P, B]
-            puy = jnp.sum(nky * over_p, 1) / n_act[:, 0, :]
-            puz = jnp.sum(nkz * over_p, 1) / n_act[:, 0, :]
-            shareA = a_invm / wsum_p
-            shareB = b_invm / wsum_p
-            pushdx = jnp.einsum("pb,pdb->db", pux * shareA, ohA) - jnp.einsum(
-                "pb,pdb->db", pux * shareB, ohB
-            )
-            pushdy = jnp.einsum("pb,pdb->db", puy * shareA, ohA) - jnp.einsum(
-                "pb,pdb->db", puy * shareB, ohB
-            )
-            pushdz = jnp.einsum("pb,pdb->db", puz * shareA, ohA) - jnp.einsum(
-                "pb,pdb->db", puz * shareB, ohB
-            )
-            return c + (pushdx, pushdy, pushdz)
+                outs = loop_tri_only(_c0)
+            dvx, dvy, dvz, dwx, dwy, dwz, pushdx, pushdy, pushdz = outs
+            dpx = jnp.where(on, dpx + pushdx, dpx)
+            dpy = jnp.where(on, dpy + pushdy, dpy)
+            dpz = jnp.where(on, dpz + pushdz, dpz)
 
-        _c0 = (dvx, dvy, dvz, dwx, dwy, dwz)
-        if pairs_enabled:
-            outs = jax.lax.cond(pair_any, loop_with_pairs, loop_tri_only, _c0)
+            return (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz), None
+
+        carry = (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz)
+        if _unroll_loops():  # unrolled for cross-substep fusion (TPU)
+            for _s in range(n_substeps):
+                carry, _ = substep(carry, None)
         else:
-            outs = loop_tri_only(_c0)
-        dvx, dvy, dvz, dwx, dwy, dwz, pushdx, pushdy, pushdz = outs
-        dpx = jnp.where(on, dpx + pushdx, dpx)
-        dpy = jnp.where(on, dpy + pushdy, dpy)
-        dpz = jnp.where(on, dpz + pushdz, dpz)
+            carry, _ = jax.lax.scan(substep, carry, None, length=n_substeps)
+        return carry
 
-        # -------------------------------------------------- vs player [D, B]
-        ccx3, ccy3, ccz3 = g.quat_rotate_soa(dqx, dqy, dqz, dqw, dcx, dcy, dcz)
-        ccx3, ccy3, ccz3 = ccx3 + dpx, ccy3 + dpy, ccz3 + dpz
-        sy0 = ppy - CAPSULE_HALF_HEIGHT
-        sy1 = ppy + CAPSULE_HALF_HEIGHT
-        qpx, qpy, qpz = g.closest_point_on_vseg_soa(ccx3, ccy3, ccz3, ppx[None], sy0[None], sy1[None], ppz[None])
-        dxp, dyp, dzp = ccx3 - qpx, ccy3 - qpy, ccz3 - qpz
-        pnx2, pny2, pnz2, pd = g.normalize3(dxp, dyp, dzp)
-        rs = _support_toward(dqx, dqy, dqz, dqw, dhx * 1.0, dhy * 1.0, dhz * 1.0,
-                             pnx2, pny2, pnz2, verts=d_verts, is_box=d_is_box)
-        cdepth = jnp.where(on, 0.9 * rs + CAPSULE_RADIUS - pd, -jnp.inf)
-        inv_m_player = 1.0 / CHARACTER_MASS
-        rel_v = (dvx - pvx[None]) * pnx2 + (dvy - pvy[None]) * pny2 + (dvz - pvz[None]) * pnz2
-        jn = jnp.where((cdepth > 0) & (rel_v < 0), -rel_v / (d_inv_m + inv_m_player + 1e-9), 0.0)
-        dvx = dvx + pnx2 * jn * d_inv_m
-        dvy = dvy + pny2 * jn * d_inv_m
-        dvz = dvz + pnz2 * jn * d_inv_m
-        pp = jnp.maximum(cdepth - PENETRATION_SLOP, 0.0) * 0.5 * ((cdepth > PENETRATION_SLOP) & on)
-        dpx = dpx + pnx2 * pp
-        dpy = dpy + pny2 * pp
-        dpz = dpz + pnz2 * pp
-
-        return (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz), None
-
-    carry = (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz)
-    if _unroll_loops():  # unrolled for cross-substep fusion (TPU)
-        for _s in range(n_substeps):
-            carry, _ = substep(carry, None)
-    else:
-        carry, _ = jax.lax.scan(substep, carry, None, length=n_substeps)
+    carry0 = (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz)
+    carry = jax.lax.cond(jnp.any(awake), _bodies_active, lambda c: c, carry0)
     (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz) = carry
 
     # sleep counter: consecutive ticks with point velocity (|v| + |w|*r

@@ -267,3 +267,29 @@ def test_can_drop_held_veto(rig, sfn):
     assert bool(st.player.can_drop_held)
     st = sfn(st, press)
     assert int(st.player.held_actor) == -1
+
+
+def test_eraser_touch_pickup_follows_body(rig):
+    """item_eraser touch pickup (ItemEraser.c ItemEraserOnPlayerContactAdded):
+    the pickup volume rides the DYNAMIC eraser body, so after the body falls
+    from its authored spawn to the floor the player picks it up at the
+    settled pose (PARITY.md #9 follow-sensor)."""
+    from tests.worldgen import actor, make_map
+
+    emap = make_map([actor("item_eraser", (3.0, 1.0, 0.0))], spawn=(-3.0, 0.0, 0.0))
+    assert emap.aux["has_follow_sensors"]
+    efn = jax.jit(lambda s, a: step(emap, s, a))
+    st = reset(emap)
+    st = run(emap, efn, st, 120)  # eraser falls ~2 m and settles
+    i_er = idx_of(emap, "ITEM_ERASER")
+    pos = np.asarray(st.actors.pos[i_er])
+    assert pos[1] < -0.5, f"eraser should have fallen to the floor, y={pos[1]}"
+    assert int(st.save.item_mask) & 1 == 0
+    # the authored (compile-time) sensor pose is up at y~1.0 -- only the
+    # follow-sensor places the pickup at the settled body. Aim past the
+    # body so the capsule actually touches it (walk_to stops 0.3 out).
+    st = walk_to(emap, efn, st, (pos[0] + 0.5, pos[2]))
+    st = run(emap, efn, st, 10)
+    assert int(st.save.item_mask) & 1 == 1
+    assert not bool(st.actors.active[i_er])
+    assert int(st.save.current_item) == 0
