@@ -1,36 +1,42 @@
-"""Lightmap radiance model: direct lighting + one-bounce indirect.
+"""Lightmap radiance model — the editor's bake formula, recovered by fit.
 
 The reference's baker lives in its external editor (SURVEY.md §2.6 — the
-repo ships only compiled .gmap lightmaps), so this model is inferred from
-Light.h:12-24 and calibrated against shapes.gmap's shipped bake
-(benchmarks/baker_calibration.py):
+repo ships only compiled .gmap lightmaps), so the model was recovered by
+regressing the shipped bakes on candidate basis functions
+(benchmarks/baker_fit.py, nonnegative least squares over per-light
+falloff/cosine/visibility variants on shapes.gmap + too_many_lights.gmap,
+the two shipped maps with point lights):
 
-  direct   = sum_l color_l * brightness_l * max(n.l, 0)
-             * clamp(1 - d/range_l, 0, 1)^attenuation_l * visible(p, l)
-  indirect = ALBEDO * mean_k direct(hit(p, w_k), n_hit)     (one bounce,
-             cosine-weighted hemisphere directions, Lambertian estimator)
+  L(p) = sum_l color_l * brightness_l * visible(p, l)
+         * max(1/d^att_l - 1/range_l^att_l, 0)
 
-The round-1 direct-only bake had ~0.20 median relative error vs the
-shipped shapes.gmap lightmap; the residual is dominated by the editor's
-bounce term, which this module adds.
+i.e. a shifted inverse-power falloff that reaches exactly zero at
+`range` (algebraically (1/d^a)*(1-(d/r)^a)), hard shadow rays, and —
+notably — NO surface-cosine (Lambert) term, no ambient, no indirect
+bounce, with unit gain in the editor's output units. Fit quality at
+gain 1.0 (benchmarks/baker_fit.py):
+
+  shapes.gmap          R^2 = 0.977, median rel. err 0.013  (1370 samples)
+  too_many_lights.gmap R^2 = 0.958, median rel. err 0.088  (48 samples;
+                       range=2/att=2 lights -> steep luxel gradients, so
+                       point-sampling noise dominates)
+
+Every alternative with a cosine term fits far worse (R^2 <= 0.58), as
+does any model without shadow rays (R^2 <= 0.52) — both terms are
+decisively identified, not assumed. Light params per Light.h:12-24
+(position, color, brightness, range, attenuation).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-# Calibration against shapes.gmap's shipped bake
-# (benchmarks/baker_calibration.py, 1358 lit surface samples):
-#   direct-only:        floors median rel err 0.233, all-surfaces MEAN 1.25
-#                       (unlit walls/ceilings come out black — the editor
-#                       bake clearly carries a bounce term)
-#   + bounce (a=0.35):  all-surfaces mean 0.93; floors median 0.265
-# ALBEDO trades floor accuracy (direct-dominated) against wall/ceiling
-# accuracy (bounce-dominated); 0.35 is the measured middle. GAIN matches
-# our absolute level to the editor's output units (fitted jointly).
+# The fitted output gain is 1.0 (0.98-1.01 on both calibration maps): the
+# editor writes radiance in these natural units directly.
+GAIN = 1.0
+# Kept for API compatibility with experiments; the recovered editor model
+# has no indirect term, so bakes default to direct-only.
 ALBEDO = 0.35
-GAIN = 0.47
-# cosine-weighted hemisphere directions per luxel for the bounce
 N_BOUNCE = 16
 
 
@@ -58,9 +64,13 @@ def _cosine_dirs(n: int) -> np.ndarray:
     ).astype(np.float32)
 
 
-def make_shader(point_lights, occluder_tris, bounces: int = 1, albedo: float = ALBEDO):
+def make_shader(point_lights, occluder_tris, bounces: int = 0, albedo: float = ALBEDO):
     """Returns a jitted shade(pts [B,3], normal [3]) -> [B,3] radiance
-    function over the map's light set and occluder soup."""
+    function over the map's light set and occluder soup.
+
+    The default (bounces=0) is the recovered editor model above. bounces>0
+    adds a cosine-weighted one-bounce estimate — not part of the editor's
+    model, kept for lighting experiments on original content."""
     import jax
     import jax.numpy as jnp
 
@@ -78,18 +88,21 @@ def make_shader(point_lights, occluder_tris, bounces: int = 1, albedo: float = A
     bdirs = jnp.asarray(_cosine_dirs(N_BOUNCE))
 
     def direct(pts, normals):
-        """pts [B,3], normals [B,3] -> [B,3]."""
+        """pts [B,3], normals [B,3] -> [B,3].
+
+        normals are used only for bounce-ray hemisphere orientation; the
+        editor's direct term itself is cosine-free (see module docstring).
+        """
+        del normals
 
         def per_light(L):
             lp, lc = L[:3], L[3:6]
             brightness, rng, att = L[6], L[7], L[8]
             delta = lp[None] - pts
-            dist = jnp.linalg.norm(delta, axis=-1)
-            ldir = delta / jnp.maximum(dist, 1e-9)[:, None]
-            lam = jnp.maximum(jnp.sum(ldir * normals, -1), 0.0)
-            atten = (
-                jnp.clip(1.0 - dist / jnp.maximum(rng, 1e-6), 0.0, 1.0)
-                ** jnp.maximum(att, 1e-6)
+            dist = jnp.maximum(jnp.linalg.norm(delta, axis=-1), 1e-4)
+            att = jnp.maximum(att, 1e-6)
+            falloff = jnp.maximum(
+                dist**-att - jnp.maximum(rng, 1e-6) ** -att, 0.0
             )
             # shadow ray pts -> lp (Moller-Trumbore vs all occluders)
             d = delta  # [B,3]
@@ -104,7 +117,7 @@ def make_shader(point_lights, occluder_tris, bounces: int = 1, albedo: float = A
             t = jnp.einsum("tj,btj->bt", tri_e2, qv) * inv
             hit = ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 1e-4) & (t < 1.0 - 1e-4)
             visible = ~jnp.any(hit, axis=1)
-            w = jnp.where((lam > 0) & (atten > 0) & visible, brightness * lam * atten, 0.0)
+            w = jnp.where(visible, brightness * falloff, 0.0)
             return lc[None] * w[:, None]
 
         acc = jax.lax.map(per_light, lights)  # [L, B, 3]

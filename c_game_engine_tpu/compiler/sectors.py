@@ -622,11 +622,12 @@ def compile_map_source(path_or_dict, name: str = "mapsource") -> GMap:
     )
 
 
-def bake_lightmap(surfaces, atlas_size, point_lights, occluder_tris, bounces=1):
-    """Lightmap bake: per-luxel direct lighting (lambert * falloff with
-    shadow rays) + one-bounce indirect (compiler/baker.py), 2x2
-    supersampled per luxel so shadow boundaries resolve softly. The inner
-    loop is a jitted JAX kernel (runs on the accelerator when attached)."""
+def bake_lightmap(surfaces, atlas_size, point_lights, occluder_tris, bounces=0):
+    """Lightmap bake with the recovered editor model (compiler/baker.py):
+    per-luxel color*brightness*visible*max(1/d^att - 1/range^att, 0) —
+    cosine-free, shadow-rayed, unit gain — 2x2 supersampled per luxel so
+    shadow boundaries resolve softly. The inner loop is a jitted JAX
+    kernel (runs on the accelerator when attached)."""
     import jax.numpy as jnp
 
     from c_game_engine_tpu.compiler.baker import GAIN, make_shader

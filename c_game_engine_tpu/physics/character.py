@@ -159,7 +159,7 @@ def update_character(cmap, actors, pos, vel, dt, was_on_ground, jumping, noclip)
 
         # stick-to-floor: when grounded last tick and not moving up, snap down
         # by up to STICK_DOWN so walking down slopes/stairs keeps contact
-        want_stick = was_on_ground & (~jumping) & (v[1] <= 1e-4) & (~grounded)
+        want_stick = was_on_ground & jnp.logical_not(jumping) & (v[1] <= 1e-4) & jnp.logical_not(grounded)
         dropped = p + jnp.array([0.0, -STICK_DOWN, 0.0], jnp.float32)
         p3, v3, grounded3, gn3 = resolve_capsule(cmap, actors, dropped, v)
         stick_ok = want_stick & grounded3
