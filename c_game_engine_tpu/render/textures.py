@@ -36,6 +36,15 @@ class TextureAtlas:
     table: jnp.ndarray  # [T, 6] f32: x0, y0, w, h, repeat, filter
     mips: jnp.ndarray  # [T, MAX_MIPS, 4] f32: x0, y0, w, h per level
     n_mips: jnp.ndarray  # [T] f32 (1 = no chain)
+    # DUAL-LEVEL rows: dual[y, x, 0:16] = blocked[y, x]; dual[y, x, 16:52]
+    # = the NEXT mip level's 3x3 texel neighborhood (row-major (dy, dx),
+    # 4 ch each) anchored at (x//2 - 1, y//2 - 1) in that level, wrapped/
+    # clamped per the texture's repeat mode. Because a level-L+1 bilinear
+    # footprint derived from the same uv always lands within that 3x3
+    # (fx' = fx/2 - 0.25 for even widths), a trilinear tap becomes ONE
+    # gather instead of two. Last chain levels embed themselves (their
+    # blend fraction is always 0). None when build_atlas(dual=False).
+    dual: jnp.ndarray | None = None  # [AH, AW, 52]
 
     @property
     def size(self):
@@ -56,9 +65,14 @@ def _downsample(px: np.ndarray) -> np.ndarray:
     return px
 
 
-def build_atlas(textures: list) -> TextureAtlas:
+def build_atlas(textures: list, dual: bool = False, dual_dtype=np.float32) -> TextureAtlas:
     """Shelf-pack decoded Texture objects (assets.codecs.Texture) and the
-    mip chains of those with the mipmaps flag."""
+    mip chains of those with the mipmaps flag. dual=True additionally
+    packs each texel's next-mip-level 3x3 neighborhood into the same row
+    (TextureAtlas.dual) so trilinear sampling costs one gather — bit-exact
+    with the two-tap path (tests/test_render.py), but measured 2x SLOWER
+    on TPU v5e (52-channel gather rows cost more than two 16-channel
+    gathers; benchmarks notes in ROADMAP.md), so it is off by default."""
     if not textures:
         textures = []
     # per-texture mip pyramids (level 0 = the texture itself)
@@ -90,6 +104,7 @@ def build_atlas(textures: list) -> TextureAtlas:
         height *= 2
 
     blocked = np.zeros((height, width, 16), np.float32)
+    dual_arr = np.zeros((height, width, 52), dual_dtype) if dual else None
     nt = max(len(textures), 1)
     table = np.zeros((nt, 6), np.float32)
     mips = np.zeros((nt, MAX_MIPS, 4), np.float32)
@@ -110,6 +125,26 @@ def build_atlas(textures: list) -> TextureAtlas:
             blocked[py : py + lh, px : px + lw, 4:8] = lv[:, xn]
             blocked[py : py + lh, px : px + lw, 8:12] = lv[yn]
             blocked[py : py + lh, px : px + lw, 12:16] = lv[yn][:, xn]
+            if dual:
+                dual_arr[py : py + lh, px : px + lw, 0:16] = blocked[
+                    py : py + lh, px : px + lw
+                ]
+                # next level's 3x3 anchored at (x//2 - 1, y//2 - 1); the
+                # last level embeds itself (its blend fraction is 0)
+                lv1 = ch[min(li + 1, len(ch) - 1)]
+                h1, w1 = lv1.shape[:2]
+                kx = np.arange(lw) // 2
+                ky = np.arange(lh) // 2
+                for j in range(3):
+                    sy = ky - 1 + j
+                    sy = sy % h1 if t.repeat else np.clip(sy, 0, h1 - 1)
+                    for ii in range(3):
+                        sx = kx - 1 + ii
+                        sx = sx % w1 if t.repeat else np.clip(sx, 0, w1 - 1)
+                        c0 = 16 + (j * 3 + ii) * 4
+                        dual_arr[py : py + lh, px : px + lw, c0 : c0 + 4] = lv1[
+                            sy
+                        ][:, sx]
             mips[i, li] = [px, py, lw, lh]
             if li == 0:
                 table[i] = [px, py, lw, lh, float(t.repeat), float(t.filter)]
@@ -124,6 +159,7 @@ def build_atlas(textures: list) -> TextureAtlas:
         table=jnp.asarray(table),
         mips=jnp.asarray(mips),
         n_mips=jnp.asarray(n_mips),
+        dual=jnp.asarray(dual_arr) if dual else None,
     )
 
 
@@ -171,12 +207,97 @@ def _sample_level(atlas, rect, repeat, bilinear, uv):
     return jnp.where(bilinear[..., None], lin, nearest)
 
 
+def _sample_dual(atlas, rect, rect1, repeat, bilinear, uv, frac):
+    """Trilinear tap from ONE dual-row gather: the level-L 2x2 block plus
+    the embedded level-L+1 3x3 neighborhood (see TextureAtlas.dual). The
+    L math mirrors _sample_level exactly; the L+1 bilinear footprint is
+    located within the stored 3x3 by its offset from the anchor
+    (x//2 - 1, y//2 - 1) — exact for even level widths (all power-of-two
+    chains); odd deep levels clip to the nearest stored texel."""
+    x0, y0, w, h = rect[..., 0], rect[..., 1], rect[..., 2], rect[..., 3]
+    u = uv[..., 0]
+    v = uv[..., 1]
+    u = jnp.where(repeat, u - jnp.floor(u), jnp.clip(u, 0.0, 1.0))
+    v = jnp.where(repeat, v - jnp.floor(v), jnp.clip(v, 0.0, 1.0))
+
+    fx = u * w - 0.5
+    fy = v * h - 0.5
+    fx = jnp.where(repeat, fx, jnp.clip(fx, 0.0, jnp.maximum(w - 1.0, 0.0)))
+    fy = jnp.where(repeat, fy, jnp.clip(fy, 0.0, jnp.maximum(h - 1.0, 0.0)))
+    ix0 = jnp.floor(fx)
+    iy0 = jnp.floor(fy)
+    tx = fx - ix0
+    ty = fy - iy0
+    bx = jnp.where(repeat, jnp.mod(ix0, jnp.maximum(w, 1)), ix0)
+    by = jnp.where(repeat, jnp.mod(iy0, jnp.maximum(h, 1)), iy0)
+    xi = (x0 + bx).astype(jnp.int32)
+    yi = (y0 + by).astype(jnp.int32)
+    blk = atlas.dual[yi, xi].astype(jnp.float32)  # [..., 52]
+
+    c00, c10, c01, c11 = blk[..., 0:4], blk[..., 4:8], blk[..., 8:12], blk[..., 12:16]
+    lin = (
+        c00 * ((1 - tx) * (1 - ty))[..., None]
+        + c10 * (tx * (1 - ty))[..., None]
+        + c01 * ((1 - tx) * ty)[..., None]
+        + c11 * (tx * ty)[..., None]
+    )
+    nearest = jnp.where(
+        (ty > 0.5)[..., None],
+        jnp.where((tx > 0.5)[..., None], c11, c01),
+        jnp.where((tx > 0.5)[..., None], c10, c00),
+    )
+    c0 = jnp.where(bilinear[..., None], lin, nearest)
+
+    # ---- L+1 tap out of the embedded 3x3 ----
+    w1, h1 = rect1[..., 2], rect1[..., 3]
+    fx1 = u * w1 - 0.5
+    fy1 = v * h1 - 0.5
+    fx1 = jnp.where(repeat, fx1, jnp.clip(fx1, 0.0, jnp.maximum(w1 - 1.0, 0.0)))
+    fy1 = jnp.where(repeat, fy1, jnp.clip(fy1, 0.0, jnp.maximum(h1 - 1.0, 0.0)))
+    ix1 = jnp.floor(fx1)
+    iy1 = jnp.floor(fy1)
+    tx1 = fx1 - ix1
+    ty1 = fy1 - iy1
+    bx1 = jnp.where(repeat, jnp.mod(ix1, jnp.maximum(w1, 1)), ix1)
+    by1 = jnp.where(repeat, jnp.mod(iy1, jnp.maximum(h1, 1)), iy1)
+    offx = bx1 - jnp.floor(bx * 0.5) + 1.0
+    offy = by1 - jnp.floor(by * 0.5) + 1.0
+    offx = jnp.clip(jnp.where(repeat, jnp.mod(offx, jnp.maximum(w1, 1)), offx), 0.0, 1.0)
+    offy = jnp.clip(jnp.where(repeat, jnp.mod(offy, jnp.maximum(h1, 1)), offy), 0.0, 1.0)
+
+    cidx = jnp.arange(3, dtype=jnp.float32)
+    nx = offx + (tx1 > 0.5)
+    ny = offy + (ty1 > 0.5)
+    wx3 = jnp.where(
+        bilinear[..., None],
+        (cidx == offx[..., None]) * (1.0 - tx1)[..., None]
+        + (cidx == offx[..., None] + 1.0) * tx1[..., None],
+        (cidx == nx[..., None]).astype(jnp.float32),
+    )  # [..., 3]
+    wy3 = jnp.where(
+        bilinear[..., None],
+        (cidx == offy[..., None]) * (1.0 - ty1)[..., None]
+        + (cidx == offy[..., None] + 1.0) * ty1[..., None],
+        (cidx == ny[..., None]).astype(jnp.float32),
+    )
+    # explicit 9-term accumulation: a reshape/einsum over a [..., 9, 4]
+    # intermediate materializes ~300 MB at batch — this form fuses
+    c1 = jnp.zeros_like(c0)
+    for j in range(3):
+        for i in range(3):
+            c0ch = 16 + (j * 3 + i) * 4
+            wji = (wy3[..., j] * wx3[..., i])[..., None]
+            c1 = c1 + wji * blk[..., c0ch : c0ch + 4]
+    return c0 + (c1 - c0) * frac[..., None]
+
+
 def sample(atlas: TextureAtlas, tex_id, uv, lod=None):
     """Sample texture `tex_id` at `uv`. Broadcasts over leading dims.
     tex_id: [...] i32; uv: [..., 2]; lod: [...] f32 mip level or None
     (None = base level only, e.g. Options.mipmaps off). Returns [..., 4].
     Trilinear (blend between the two straddling levels) when the texture's
-    filter flag is set; nearest level otherwise."""
+    filter flag is set; nearest level otherwise. With a dual-packed atlas
+    the trilinear tap is a single gather (_sample_dual)."""
     tid = jnp.clip(tex_id, 0, atlas.table.shape[0] - 1)
     t = atlas.table[tid]
     repeat = t[..., 4] > 0.5
@@ -190,7 +311,9 @@ def sample(atlas: TextureAtlas, tex_id, uv, lod=None):
     l1 = jnp.minimum(l0 + 1, max_l.astype(jnp.int32))
     frac = jnp.where(bilinear, lodc - l0.astype(jnp.float32), 0.0)
     r0 = atlas.mips[tid, l0]
-    c0 = _sample_level(atlas, r0, repeat, bilinear, uv)
     r1 = atlas.mips[tid, l1]
+    if atlas.dual is not None:
+        return _sample_dual(atlas, r0, r1, repeat, bilinear, uv, frac)
+    c0 = _sample_level(atlas, r0, repeat, bilinear, uv)
     c1 = _sample_level(atlas, r1, repeat, bilinear, uv)
     return c0 + (c1 - c0) * frac[..., None]

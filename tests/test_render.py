@@ -143,3 +143,38 @@ def test_pallas_raster_backend_matches_xla(test_map):
     with pltpu.force_tpu_interpret_mode():
         out = np.asarray(render(rb, cm, st, 128, 128, backend="pallas"))
     np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_dual_atlas_sampling_matches_two_tap():
+    """The dual-packed atlas trilinear path (one 52-channel gather,
+    textures._sample_dual) is bit-exact with the reference two-tap path
+    across repeat/clamp, filter/nearest, POT chains, and out-of-range
+    uv/lod."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from c_game_engine_tpu.render.textures import build_atlas, sample
+
+    class T:
+        def __init__(self, w, h, repeat, filt, mips):
+            rng = np.random.RandomState((w * 31 + h * 7 + repeat * 3 + filt) % 2**31)
+            self.pixels = rng.rand(h, w, 4).astype(np.float32)
+            self.repeat, self.filter, self.mipmaps = repeat, filt, mips
+
+    texs = [
+        T(64, 64, True, True, True),
+        T(32, 16, False, True, True),
+        T(128, 128, True, False, True),
+        T(8, 8, False, False, True),
+        T(16, 16, True, True, False),
+    ]
+    a_dual = build_atlas(texs, dual=True)
+    a_ref = build_atlas(texs, dual=False)
+    rng = np.random.RandomState(0)
+    n = 4096
+    tid = jnp.asarray(rng.randint(0, len(texs), n))
+    uv = jnp.asarray(rng.uniform(-1.5, 2.5, (n, 2)).astype(np.float32))
+    lod = jnp.asarray(rng.uniform(0, 7, n).astype(np.float32))
+    got = np.asarray(sample(a_dual, tid, uv, lod=lod))
+    want = np.asarray(sample(a_ref, tid, uv, lod=lod))
+    np.testing.assert_array_equal(got, want)
