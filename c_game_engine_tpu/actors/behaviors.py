@@ -204,10 +204,12 @@ def update_actors(cmap, state, fired, fired_pi, delta, camera_pos, laser_hit=Non
     first = active & (cls == int(ActorClass.IO_PROXY)) & (tick == 0)
     fired, fired_pi = fire(fired, fired_pi, first, Output.FIRST_TICK)
 
-    # ---- coin animation (Coin.c:CoinUpdate): every 8th frame advance the
-    # 4-frame uv animation ----
+    # ---- coin animation (Coin.c:CoinUpdate): every 8th physicsFrame
+    # (engine uptime, NOT the per-map tick — Coin.c:60 reads
+    # GetState()->physicsFrame, so the phase persists across map changes)
+    # advance the 4-frame uv animation ----
     coin = active & (cls == int(ActorClass.COIN))
-    advance = coin & (tick % 8 == 0)
+    advance = coin & (state.frame % 8 == 0)
     frame = jnp.where(advance, (actors.idata[:, 0] + 1) % 4, actors.idata[:, 0])
     actors = actors.replace(idata=actors.idata.at[:, 0].set(jnp.where(coin, frame, actors.idata[:, 0])))
     # uv offset x = 0.25 * frame is derived in the renderer from idata[0]

@@ -81,6 +81,10 @@ class Row:
     # support vert cloud relative to shape_center (None -> box corners of
     # halfext); see compiler/models.py support_cloud
     hull_verts: np.ndarray | None = None
+    # unit-mass inertia diagonal of the exact collision shape (Jolt's
+    # CalculateInertia result / mass; models.py hull_mass_properties).
+    # None -> solid-box tensor from halfext.
+    inertia_per_mass: np.ndarray | None = None
     rot_lock_y: bool = False  # allow only Y rotation (TestActor.c:42-46)
     friction: float = 0.2  # Jolt body default
     restitution: float = 0.0
@@ -233,6 +237,7 @@ def build_physics_model(ir, ctx):
     r.halfext = info.box_halfext.copy()
     r.shape_center = info.box_center.copy()
     r.hull_verts = info.hull_verts
+    r.inertia_per_mass = info.inertia_per_mass
     r.layer = int(Layer.DYNAMIC)
     mass_override = kv.get_float(ir.params, "mass_override", 0.0)
     r.mass = mass_override if mass_override > 0 else info.mass_default
@@ -452,6 +457,7 @@ def build_physbox(ir, ctx):
     r.halfext = info.box_halfext.copy()
     r.shape_center = info.box_center.copy()
     r.hull_verts = info.hull_verts
+    r.inertia_per_mass = info.inertia_per_mass
     r.layer = int(Layer.DYNAMIC)
     r.mass = 10.0
     return r
@@ -468,6 +474,7 @@ def build_test_actor(ir, ctx):
     r.halfext = info.box_halfext.copy()
     r.shape_center = info.box_center.copy()
     r.hull_verts = info.hull_verts
+    r.inertia_per_mass = info.inertia_per_mass
     r.layer = int(Layer.DYNAMIC)
     r.mass = 15.0
     r.rot_lock_y = True
@@ -484,6 +491,12 @@ def build_npc_john(ir, ctx):
     r.halfext = np.array([0.25, 0.5, 0.25], np.float32)
     from c_game_engine_tpu.compiler.models import cylinder_cloud
     r.hull_verts = cylinder_cloud(0.25, 0.5)
+    # analytic solid-cylinder tensor (what Jolt's CylinderShape
+    # GetMassProperties yields): Iy = m r^2/2, Ix = Iz = m (3r^2 + h^2)/12
+    _r2, _h = 0.25 * 0.25, 1.0
+    r.inertia_per_mass = np.array(
+        [(3 * _r2 + _h * _h) / 12, _r2 / 2, (3 * _r2 + _h * _h) / 12], np.float32
+    )
     r.layer = int(Layer.DYNAMIC)
     r.mass = 15.0
     r.rot_lock_y = True
@@ -502,6 +515,7 @@ def build_item_eraser(ir, ctx):
     r.halfext = info.box_halfext.copy()
     r.shape_center = info.box_center.copy()
     r.hull_verts = info.hull_verts
+    r.inertia_per_mass = info.inertia_per_mass
     r.layer = int(Layer.DYNAMIC)
     r.mass = info.mass_default
     # touch pickup fires on player-body contact (ItemEraserOnPlayerContactAdded)

@@ -338,9 +338,16 @@ def compile_map(
         actor_to_dyn[ai] = di
     inv_mass = np.where(dynamic & (mass > 0), 1.0 / np.maximum(mass, 1e-9), 0.0).astype(np.float32)
     hx, hy, hz = halfext[:, 0], halfext[:, 1], halfext[:, 2]
+    # solid-box tensor from the bound box, overridden by the exact
+    # shape tensor where the row carries one (hull/cylinder bodies —
+    # Jolt's OverrideMassProperties=CalculateInertia scales the true
+    # shape tensor to the body mass, PhysicsModel.c:45-52)
     ibody = (mass[:, None] / 3.0) * np.stack(
         [hy * hy + hz * hz, hx * hx + hz * hz, hx * hx + hy * hy], axis=-1
     )
+    for i, r in enumerate(rows):
+        if getattr(r, "inertia_per_mass", None) is not None:
+            ibody[i] = r.mass * r.inertia_per_mass
     inv_inertia = np.where(
         dynamic[:, None] & (ibody > 1e-12), 1.0 / np.maximum(ibody, 1e-12), 0.0
     ).astype(np.float32)

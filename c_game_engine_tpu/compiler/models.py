@@ -66,6 +66,49 @@ def support_cloud(points: np.ndarray, dirs: np.ndarray = _SUPPORT_DIRS) -> np.nd
     return np.unique(pts[idx].astype(np.float32), axis=0)
 
 
+def hull_mass_properties(point_sets) -> tuple[float, np.ndarray, np.ndarray]:
+    """Unit-density mass properties of a compound of convex hulls.
+
+    Each entry of `point_sets` is a [K, 3] point cloud convexified
+    independently — the compound's volume/inertia is the SUM over
+    sub-hulls, matching Jolt's StaticCompoundShape mass properties
+    (the reference creates bodies with OverrideMassProperties =
+    CalculateInertia, which scales the shape tensor to the override mass:
+    engine/src/actor/prop/PhysicsModel.c:45-52, ModelLoader.c:323-351).
+
+    Returns (volume, com[3], I[3, 3]) with the inertia about the compound
+    center of mass at unit density; scale by mass/volume for a body mass.
+    Signed-tetra integrals over the hull faces (Mirtich-style covariance
+    form), validated against analytic box/sphere/cylinder tensors in
+    tests/test_hulls.py.
+    """
+    vol = 0.0
+    first = np.zeros(3)  # integral of x dV
+    cov = np.zeros((3, 3))  # integral of x x^T dV about the origin
+    from scipy.spatial import ConvexHull
+
+    for pts in point_sets:
+        pts = np.asarray(pts, np.float64)
+        hull = ConvexHull(pts)
+        interior = pts[hull.vertices].mean(axis=0)
+        for simplex in hull.simplices:
+            a, b, c = pts[simplex]
+            n = np.cross(b - a, c - a)
+            if np.dot(n, a - interior) < 0.0:  # orient faces outward
+                b, c = c, b
+            det = float(np.dot(a, np.cross(b, c)))  # 6 x signed tetra volume
+            vol += det / 6.0
+            first += (det / 6.0) * (a + b + c) / 4.0
+            s = a + b + c
+            cov += (det / 120.0) * (
+                np.outer(a, a) + np.outer(b, b) + np.outer(c, c) + np.outer(s, s)
+            )
+    com = first / max(vol, 1e-12)
+    cov_com = cov - vol * np.outer(com, com)
+    inertia = np.eye(3) * np.trace(cov_com) - cov_com
+    return float(vol), com.astype(np.float32), inertia
+
+
 def box_corners(halfext: np.ndarray) -> np.ndarray:
     """The 8 corners of an origin-centered box — the box's exact support
     cloud."""
@@ -100,6 +143,14 @@ class ModelInfo:
     # no hulls). Compound hulls are merged into one convex cloud
     # (PARITY.md #3 note).
     hull_verts: np.ndarray | None = None  # [V, 3]
+    # Diagonal of the exact compound-hull inertia tensor about the hull
+    # COM at unit MASS (multiply by body mass for the body tensor) — what
+    # Jolt's CalculateInertia override produces for these shapes
+    # (PhysicsModel.c:45-52). None -> solid-box tensor from box_halfext.
+    # Off-diagonals of the shipped hulls are < 1% of the diagonal (all are
+    # near-symmetric) and our solver keeps a diagonal body-frame tensor,
+    # so only the diagonal is carried.
+    inertia_per_mass: np.ndarray | None = None  # [3]
 
 
 class AssetResolver:
@@ -127,20 +178,31 @@ class AssetResolver:
             path = self.resolve("model/error.gmdl")
         m = decode_gmdl(path)
         verts = None
+        ipm = None
         if m.collision_type == CollisionModelType.DYNAMIC and m.hulls:
             pts = np.concatenate([h["points"] + h["offset"][None] for h in m.hulls], axis=0)
             lo, hi = pts.min(0), pts.max(0)
             halfext = (hi - lo) * 0.5
             center = ((hi + lo) * 0.5).astype(np.float32)
             verts = support_cloud(pts) - center[None, :]
+            # Exact shape mass properties: volume from the SUM of sub-hulls
+            # (Jolt compound semantics, not the hull of their union) and
+            # the unit-mass inertia diagonal about the hull COM.
+            volume, _com, inertia_unit = hull_mass_properties(
+                [h["points"] + h["offset"][None] for h in m.hulls]
+            )
+            ipm = (np.diag(inertia_unit) / max(volume, 1e-12)).astype(np.float32)
         else:
             # JPH_BoxShape_Create(extents) is centered at the body origin
             # (ModelLoader.c:149 boundingBoxShape)
             halfext = m.aabb_extents.copy()
             center = np.zeros(3, np.float32)
+            he = np.maximum(halfext.astype(np.float64), 1e-3)
+            volume = float(8.0 * he[0] * he[1] * he[2])
         halfext = np.maximum(halfext.astype(np.float32), 1e-3)
-        volume = float(8.0 * halfext[0] * halfext[1] * halfext[2])
-        info = ModelInfo(rel, m, halfext, center, 1000.0 * volume, verts)
+        # Jolt's density default is 1000 kg/m^3 x the SHAPE volume (the
+        # real hull volume for dynamic models, the box volume otherwise)
+        info = ModelInfo(rel, m, halfext, center, 1000.0 * volume, verts, ipm)
         self._models[rel] = info
         return info
 

@@ -234,6 +234,13 @@ class EnvState:
     # 1 play, 2 pause, 4 stop, 8 resume, 16 one-shot coincling
     sound_ops: jnp.ndarray  # [N] i32
     tick: jnp.ndarray  # [] i32
+    # engine-uptime physics frame: increments every tick and is CARRIED
+    # ACROSS MAP CHANGES, unlike `tick` which resets per map — the split
+    # the reference keeps between GlobalState.physicsFrame (uptime,
+    # PhysicsThread.c:101) and per-map state. Animation phases driven by
+    # physicsFrame in the reference (coin 4-frame uv cycle Coin.c:60,
+    # view-bob MapPhysics.c:84) read this field (PARITY.md #15).
+    frame: jnp.ndarray  # [] i32
 
 
 def empty_events() -> EventQueue:
@@ -326,6 +333,7 @@ def reset(cmap: CompiledMap) -> EnvState:
         audio=_empty_audio(),
         sound_ops=jnp.zeros((n,), jnp.int32),
         tick=jnp.zeros((), jnp.int32),
+        frame=jnp.zeros((), jnp.int32),
     )
 
 

@@ -373,7 +373,9 @@ def step_batch(cmap, state: EnvState, actions: Actions) -> EnvState:
     # -------------------------------------------- view bob (MapPhysics.c:76-84)
     dist = jnp.linalg.norm(new_pos[:, jnp.array([0, 2])] - old_xz, axis=-1)
     bob_h = remap(dist, 0.0, MOVE_SPEED / TPS, 0.0, 0.1)
-    view_bob = 0.1 + jnp.sin(jnp.mod(state.tick.astype(jnp.float32) / 7.0, 2.0 * jnp.pi)) * bob_h
+    # phase runs on the engine-uptime physicsFrame (MapPhysics.c:84), not
+    # the per-map tick, so it is continuous across map changes
+    view_bob = 0.1 + jnp.sin(jnp.mod(state.frame.astype(jnp.float32) / 7.0, 2.0 * jnp.pi)) * bob_h
 
     state = state.replace(
         player=p.replace(
@@ -445,7 +447,7 @@ def step_batch(cmap, state: EnvState, actions: Actions) -> EnvState:
         coins=jnp.minimum(state.save.coins, 9999),
         blue_coins=jnp.minimum(state.save.blue_coins, 5),
     )
-    return state.replace(save=save, tick=state.tick + 1)
+    return state.replace(save=save, tick=state.tick + 1, frame=state.frame + 1)
 
 
 def _apply_sound_ops(cmap, state: EnvState) -> EnvState:

@@ -22,23 +22,27 @@ from c_game_engine_tpu.core.state import EnvState, reset
 from c_game_engine_tpu.core.step import step, step_batch as _step_batch
 
 
-def reset_batch(cmap, batch: int, save=None) -> EnvState:
+def reset_batch(cmap, batch: int, save=None, frame=None) -> EnvState:
     """Fresh state broadcast over a batch axis. Pass `save` (a batched
     SaveData) to carry hp/coins/items across a map change — the reference
     keeps SaveData in GlobalState across ChangeMap (GlobalState.h:23-35,
-    ChangeMapByName GlobalState.c:227-248)."""
+    ChangeMapByName GlobalState.c:227-248). Pass `frame` (batched i32) to
+    carry the engine-uptime physicsFrame counter (PhysicsThread.c:101)."""
     single = reset(cmap)
     out = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch, *x.shape)), single)
     if save is not None:
         out = out.replace(save=save)
+    if frame is not None:
+        out = out.replace(frame=frame)
     return out
 
 
 def change_map(new_cmap, old_state: EnvState) -> EnvState:
     """ChangeMapByName equivalent: fresh state on `new_cmap` carrying the
-    batch's SaveData (items/coins/hp persist; world state resets)."""
+    batch's SaveData (items/coins/hp persist; world state resets) and the
+    uptime physicsFrame (animation phases stay continuous, PARITY.md #15)."""
     batch = old_state.tick.shape[0]
-    return reset_batch(new_cmap, batch, save=old_state.save)
+    return reset_batch(new_cmap, batch, save=old_state.save, frame=old_state.frame)
 
 
 def step_batch(cmap, state: EnvState, actions: Actions) -> EnvState:

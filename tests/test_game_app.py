@@ -37,3 +37,18 @@ def test_save_data_persists_across_maps():
     assert int(app.state.save.coins[0]) == 7
     assert int(app.state.save.item_mask[0]) == 1
     assert int(app.state.tick[0]) <= 1  # world state reset
+
+
+def test_physics_frame_uptime_persists_across_maps():
+    """GlobalState.physicsFrame is engine uptime (PhysicsThread.c:101) —
+    never reset by ChangeMap — while per-map tick restarts; animation
+    phases (coin uv cycle Coin.c:60, view-bob MapPhysics.c:84) stay
+    continuous across a map change (PARITY.md #15)."""
+    app = GameApp(batch=1, initial_map="advanced_doors")
+    for _ in range(5):
+        app.tick()
+    f0 = int(app.state.frame[0])
+    assert f0 >= 5
+    app.load_level("button")
+    assert int(app.state.tick[0]) <= 1  # per-map tick reset
+    assert int(app.state.frame[0]) >= f0  # uptime carried

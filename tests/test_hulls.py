@@ -144,3 +144,61 @@ def test_two_high_stack_sleeps():
 
     for i in rows:
         assert int(st.actors.sleep[i]) == SLEEP_AFTER, "stack should be asleep"
+
+
+def test_hull_mass_properties_analytic():
+    """hull_mass_properties matches analytic box/sphere/cylinder tensors
+    and compound (parallel-axis) volumes/COM."""
+    from c_game_engine_tpu.compiler.models import hull_mass_properties
+
+    a, b, c = 0.3, 0.5, 0.7
+    box = np.array(
+        [[sx * a, sy * b, sz * c] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
+    )
+    vol, com, inertia = hull_mass_properties([box + np.array([1.0, 2.0, 3.0])])
+    assert abs(vol - 8 * a * b * c) < 1e-9
+    np.testing.assert_allclose(com, [1.0, 2.0, 3.0], atol=1e-9)
+    exp = 8 * a * b * c / 3.0 * np.array([b * b + c * c, a * a + c * c, a * a + b * b])
+    np.testing.assert_allclose(np.diag(inertia), exp, rtol=1e-9)
+    assert np.abs(inertia - np.diag(np.diag(inertia))).max() < 1e-9
+
+    # dense sphere cloud -> 2/5 m r^2 within the facet chord error
+    i = np.arange(4000) + 0.5
+    phi = np.arccos(1 - 2 * i / 4000)
+    th = np.pi * (1 + 5**0.5) * i
+    r = 0.5
+    sph = r * np.stack([np.sin(phi) * np.cos(th), np.sin(phi) * np.sin(th), np.cos(phi)], -1)
+    vol, com, inertia = hull_mass_properties([sph])
+    np.testing.assert_allclose(np.diag(inertia) / vol, 0.4 * r * r, rtol=2e-3)
+
+    # two separated boxes: compound volume = sum, COM = weighted mean
+    b1 = box * 0.5 + np.array([0, 1.0, 0])
+    b2 = box + np.array([0, -1.0, 0])
+    vol, com, _ = hull_mass_properties([b1, b2])
+    v1, v2 = 8 * a * b * c / 8, 8 * a * b * c
+    assert abs(vol - (v1 + v2)) < 1e-9
+    np.testing.assert_allclose(com, [0, (v1 - v2) / (v1 + v2), 0], atol=1e-9)
+
+
+def test_compiled_inertia_and_density_mass():
+    """Orb carries the sphere tensor (0.4 m r^2, not the solid-box
+    0.667 m r^2) and density-default masses use the REAL hull volume
+    (Jolt computes mass = 1000 kg/m^3 x shape volume when PhysicsModel
+    has no mass_override; PhysicsModel.c:45-52, PARITY.md #3)."""
+    from c_game_engine_tpu.compiler.models import AssetResolver, hull_mass_properties
+
+    res = AssetResolver()
+    orb = res.model("model/orb.gmdl")
+    # orb is a radius-0.4 sphere: I/m = 0.4 r^2 (26-vert support cloud only
+    # affects the narrowphase; mass properties use the full hull)
+    np.testing.assert_allclose(orb.inertia_per_mass, 0.4 * 0.4 * 0.4, rtol=0.02)
+    assert abs(orb.mass_default - 1000 * 4 / 3 * np.pi * 0.4**3) / orb.mass_default < 0.02
+
+    leafy = res.model("model/leafy.gmdl")
+    vol, _, _ = hull_mass_properties(
+        [h["points"] + h["offset"][None] for h in leafy.model.hulls]
+    )
+    # compound volume is the SUM of sub-hulls (0.213), not the hull of the
+    # union (0.359) and not the AABB box volume
+    assert abs(vol - 0.2131) < 0.005
+    assert abs(leafy.mass_default - 1000 * vol) < 1e-3
