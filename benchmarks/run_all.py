@@ -15,7 +15,10 @@ max_box+too_many_lights):
 
 --render additionally benchmarks frame throughput (256x256 frames/s/chip,
 batch 64 — the cull/bin intermediates scale with batch x triangle soup and
-batch 64 already saturates the chip; see BASELINE.md) on each config.
+batch 64 already saturates the chip; see BASELINE.md) on each config, plus
+a render-only `orb` row (78k-triangle model -> the chunked streamed kernel,
+backend="pallas_big"; batch 16 — the per-env streamed tables and clip-stage
+intermediates are 40x the other maps').
 
 NOTE: small/dispatch-bound configs are only valid run in isolation — a
 concurrent host workload costs them ~25% (BASELINE.md round-1 note).
@@ -155,6 +158,19 @@ def main():
                 f"(256x256, batch {rr['batch']})",
                 flush=True,
             )
+
+    if args.render and (only is None or "orb" in only):
+        # render-only: orb's 78k-triangle hull model routes to the chunked
+        # streamed kernel (backend="pallas_big"); physics steps/s is not a
+        # BASELINE config for it
+        rr = bench_render("orb", f"{GMAPS}/orb.gmap", min(16, args.render_batch),
+                          args.render_frames)
+        results.append(rr)
+        print(
+            f"{'orb_render':16s} {rr['frames_per_sec_per_chip']:>14,.0f} frames/s/chip "
+            f"(256x256, batch {rr['batch']})",
+            flush=True,
+        )
 
     out = Path(__file__).parent / "results.json"
     prev = json.loads(out.read_text()) if out.exists() and only else None

@@ -77,6 +77,28 @@ class RenderBundle:
         return self.map_pos.shape[0]
 
 
+def _morton3(c):
+    """30-bit Morton codes of points [N, 3] over their own AABB (10
+    bits/axis) — spatial sort key for big-model triangle coherence."""
+    mn, mx = c.min(0), c.max(0)
+    q = np.clip(
+        ((c - mn) / np.maximum(mx - mn, 1e-9) * 1023.0), 0, 1023
+    ).astype(np.uint32)
+
+    def spread(x):
+        x = (x | (x << np.uint32(16))) & np.uint32(0x030000FF)
+        x = (x | (x << np.uint32(8))) & np.uint32(0x0300F00F)
+        x = (x | (x << np.uint32(4))) & np.uint32(0x030C30C3)
+        x = (x | (x << np.uint32(2))) & np.uint32(0x09249249)
+        return x
+
+    return (
+        (spread(q[:, 0]) << np.uint32(2))
+        | (spread(q[:, 1]) << np.uint32(1))
+        | spread(q[:, 2])
+    )
+
+
 def build_render_bundle(cmap) -> RenderBundle:
     aux = cmap.aux
     resolver = aux["resolver"]
@@ -120,6 +142,13 @@ def build_render_bundle(cmap) -> RenderBundle:
                 if len(idx) == 0:
                     continue
                 tri = idx.reshape(-1, 3).astype(np.int64)
+                if len(tri) > 4096:
+                    # big models route to the streamed rasterizer
+                    # (ops/raster_tiles_big.py), whose subchunk-bbox
+                    # pruning wants spatially-coherent row order: sort
+                    # by centroid Morton code within the (lod, slot)
+                    # block. Only z-TIE winners can change (<0.2% px).
+                    tri = tri[np.argsort(_morton3(verts[tri][:, :, 0:3].mean(1)))]
                 pool_pos.append(verts[tri][:, :, 0:3])
                 pool_uv.append(verts[tri][:, :, 3:5])
                 pool_color.append(verts[tri][:, :, 5:9])

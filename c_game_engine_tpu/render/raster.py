@@ -240,9 +240,11 @@ def _resolve_backend(backend, height, width, bundle=None):
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         if bundle is not None and bundle.live_tri_bound > PALLAS_MAX_BOUND:
-            backend = "xla"
-    # the tile kernel needs whole (8, 128) framebuffer tiles
-    if backend == "pallas" and (height % 8 or width % 128):
+            # beyond the VMEM-resident table: stream the soup through the
+            # chunked kernel (ops/raster_tiles_big.py)
+            backend = "pallas_big" if backend == "pallas" else "xla"
+    # the tile kernels need whole (8, 128) framebuffer tiles
+    if backend in ("pallas", "pallas_big") and (height % 8 or width % 128):
         backend = "xla"
     return backend
 
@@ -351,6 +353,11 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=Non
     t = keep.shape[0]
     if backend == "pallas":
         cap = min(t, T_CULL)
+    elif backend == "pallas_big":
+        # no live compaction: the streamed kernel prunes dead rows via
+        # the bbox hierarchy, and the compacting gather alone copies the
+        # whole multi-10MB table per env (~27 ms/frame-batch on orb)
+        cap = t
     else:
         bound = -(-max(bundle.live_tri_bound + extra_live, 1) // CHUNK) * CHUNK
         cap = min(t, max(bound, CHUNK))
@@ -439,6 +446,55 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=Non
         )
         idx, cnt = bin_triangles(sx, sy, tri_ok, height, width)
         vattr = None
+    elif backend == "pallas_big":
+        from c_game_engine_tpu.ops.raster_tiles_big import SUB, T_CHK, level_bboxes
+
+        # NO compaction: the kernel skips dead work through the bbox
+        # hierarchy (chunk -> subchunk -> triangle), so dead rows just
+        # carry never-hit (+inf/-inf) bboxes and winner ids stay in
+        # ORIGINAL row space. (An earlier compacting version sorted a
+        # 150k-row permutation and gathered 3 columns per env per frame
+        # — multi-ms of XLA work and multi-GB padded temps at batch.)
+        t_act = sx.shape[0]
+        pad_b = (-t_act) % T_CHK
+        padc = lambda col, fill: (
+            jnp.concatenate([col, jnp.full((pad_b,), fill, col.dtype)])
+            if pad_b
+            else col
+        )
+        big = jnp.float32(1e30)
+        okf = lambda col, fill: padc(jnp.where(tri_ok, col, fill), fill)
+        bxmin = okf(jnp.min(sx, 1), big)
+        bxmax = okf(jnp.max(sx, 1), -big)
+        bymin = okf(jnp.min(sy, 1), big)
+        bymax = okf(jnp.max(sy, 1), -big)
+        zcol = jnp.zeros((t_act + pad_b,), jnp.float32)
+        # fields-major [16, T]: completely unpadded on TPU ((8, 128)
+        # tiling divides both dims), cheap to build — see the kernel
+        # module docstring for why triangle-major OOMs at batch
+        tri16_t = jnp.stack(
+            [
+                padc(sx[:, 0], 0), padc(sy[:, 0], 0),
+                padc(sx[:, 1], 0), padc(sy[:, 1], 0),
+                padc(sx[:, 2], 0), padc(sy[:, 2], 0),
+                padc(sz[:, 0], 0), padc(sz[:, 1], 0), padc(sz[:, 2], 0),
+                zcol,
+                bxmin, bxmax, bymin, bymax,
+                zcol, zcol,
+            ],
+            axis=0,
+        )
+        cboxb = level_bboxes(bxmin, bxmax, bymin, bymax, T_CHK)
+        scbb = level_bboxes(bxmin, bxmax, bymin, bymax, SUB)
+        # attribute interpolation shares the XLA gather path below, but
+        # FLATTENED to [T, 36] rows: gathering [T, 3, 12] slabs pads the
+        # output (3, 12) -> (8, 128) tiles = 28x the write traffic
+        # (~33 ms/frame-batch on orb); flat rows pad 36 -> 128 only
+        vattr = jnp.concatenate(
+            [sx[..., None], sy[..., None], inv_w[..., None], sz[..., None],
+             tri["uv"], tri["lmuv"], tri["color"]],
+            -1,
+        ).reshape(sx.shape[0], 36)  # [T, 36] (vertex-major 3 x 12)
     else:
         # packed per-vertex table: the per-pixel lookup is 2 HBM gathers
         # instead of 8
@@ -465,10 +521,24 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=Non
             color = jnp.stack([col_r, col_g, col_b, col_a], -1)
             return has, winner, uv, lmuv, color, frag_depth, genc
 
-        winner = _pass1_xla(sx, sy, sz, tri_ok, gx, gy, height, width, exclude=exclude)
-        has = winner >= 0
-        widx = jnp.clip(winner, 0, None)
-        ga = vattr[widx]  # [H, W, 3, 12]
+        if backend == "pallas_big":
+            from c_game_engine_tpu.ops.raster_tiles_big import raster_tiles_big
+
+            _zb, winner = raster_tiles_big(
+                tri16_t, cboxb, scbb, height, width,
+                exclude=exclude, tile_on=cnt_override,
+            )
+            # winner is in ORIGINAL row space (same as the XLA pass)
+            has = winner >= 0
+            widx = jnp.clip(winner, 0, None)
+            ga = vattr[widx].reshape(*winner.shape, 3, 12)
+        else:
+            winner = _pass1_xla(
+                sx, sy, sz, tri_ok, gx, gy, height, width, exclude=exclude
+            )
+            has = winner >= 0
+            widx = jnp.clip(winner, 0, None)
+            ga = vattr[widx]  # [H, W, 3, 12]
         v_sx = ga[..., 0]
         v_sy = ga[..., 1]
         v_iw = ga[..., 2]
@@ -527,13 +597,18 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=Non
         # typical mostly-opaque frame.
         ex = jnp.where(disc1, win1, -1)
         cnt2 = None
-        if backend == "pallas":
+        if backend in ("pallas", "pallas_big"):
             from c_game_engine_tpu.ops.raster_tiles import TILE_H, TILE_W
 
             disc_tile = disc1.reshape(
                 height // TILE_H, TILE_H, width // TILE_W, TILE_W
             ).any((1, 3))
-            cnt2 = jnp.where(disc_tile[..., None, None], cnt, 0)
+            if backend == "pallas":
+                cnt2 = jnp.where(disc_tile[..., None, None], cnt, 0)
+            else:
+                # gate whole tiles in the streamed kernel's second pass
+                # ([NTy*NTx, 1] i32, the kernel's flattened tile order)
+                cnt2 = disc_tile.reshape(-1, 1).astype(jnp.int32)
         p2 = run_pass(ex, cnt_override=cnt2)
         rgb2, disc2 = shade_pass(p2)
         layer2 = jnp.where((p2[0] & ~disc2)[..., None], rgb2, fog_rgb)

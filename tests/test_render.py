@@ -178,3 +178,31 @@ def test_dual_atlas_sampling_matches_two_tap():
     got = np.asarray(sample(a_dual, tid, uv, lod=lod))
     want = np.asarray(sample(a_ref, tid, uv, lod=lod))
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_big_backend_matches_xla(test_map):
+    """The chunked streamed kernel (raster_tiles_big, backend="pallas_big"
+    for maps whose live set exceeds the VMEM-resident table — orb.gmap)
+    must reproduce the XLA reference frame exactly: pass 1 edge/z math is
+    written identically and attribute interpolation shares the same XLA
+    gather code, so the only difference is the live-first compaction,
+    which preserves the z-tie order."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from c_game_engine_tpu.core.actions import Actions
+    from c_game_engine_tpu.core.state import reset
+    from c_game_engine_tpu.core.step import step
+    from c_game_engine_tpu.render.bundle import build_render_bundle
+    from c_game_engine_tpu.render.raster import render
+
+    cm = test_map
+    rb = build_render_bundle(cm)
+    st = reset(cm)
+    sfn = jax.jit(lambda s, a: step(cm, s, a))
+    for _ in range(30):
+        st = sfn(st, Actions.zeros())
+
+    ref = np.asarray(render(rb, cm, st, 128, 128, backend="xla"))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(render(rb, cm, st, 128, 128, backend="pallas_big"))
+    np.testing.assert_array_equal(out, ref)

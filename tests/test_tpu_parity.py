@@ -83,3 +83,24 @@ def test_pallas_raster_matches_xla_on_chip():
     out = np.asarray(jax.jit(lambda s: render(rb, cm, s, 256, 256, backend="pallas"))(st))
     diff = np.abs(out - ref)
     assert float((diff > 1 / 255).mean()) < 0.002
+
+
+def test_pallas_big_raster_matches_xla_on_chip():
+    """Compiled chunked streamed kernel (pallas_big) vs the XLA pass 1 on
+    orb.gmap — the map whose 78k-triangle live bound routes to this path
+    under backend="auto". 128x128 keeps the XLA reference pass affordable
+    (it is ~5 s/frame at 256^2 on this map)."""
+    from c_game_engine_tpu.compiler.compile import compile_map
+    from c_game_engine_tpu.core.state import reset
+    from c_game_engine_tpu.render.bundle import build_render_bundle
+    from c_game_engine_tpu.render.raster import render
+
+    cm = compile_map("/root/reference/assets/game/map/orb.gmap")
+    rb = build_render_bundle(cm)
+    st = reset(cm)
+    ref = np.asarray(jax.jit(lambda s: render(rb, cm, s, 128, 128, backend="xla"))(st))
+    out = np.asarray(
+        jax.jit(lambda s: render(rb, cm, s, 128, 128, backend="pallas_big"))(st)
+    )
+    diff = np.abs(out - ref)
+    assert float((diff > 1 / 255).mean()) < 0.002
