@@ -372,7 +372,14 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=Non
         tri["valid"] = keep
 
     # ---- near-plane clipping: 1 triangle -> up to 2 ----
-    clip, tri = _clip_near(clip, tri)
+    if backend == "pallas_big":
+        # compacted variant: the uniform path below rotates/intersects
+        # the WHOLE table and doubles it to 2T rows — ~35 ms/frame-batch
+        # of gathers on orb's 78k-row table for the handful of triangles
+        # that actually straddle the near plane
+        clip, tri = _clip_near_compact(clip, tri, min(CLIP_CAP, clip.shape[0]))
+    else:
+        clip, tri = _clip_near(clip, tri)
     w = clip[..., 3]
     ok_w = jnp.all(w > 1e-5, axis=-1)
     inv_w = 1.0 / jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)
@@ -683,6 +690,43 @@ def _pass1_xla(sx, sy, sz, tri_ok, gx, gy, height, width, exclude=None):
 # render(): the near-clipped table (2x this) must fit VMEM as a [T, 128]
 # f32 block. Shipped-map live counts post-cull are ~1-3k at 256^2.
 T_CULL = 4096
+
+
+CLIP_CAP = 2048  # big-path bound on simultaneously near-plane-crossing tris
+
+
+def _clip_near_compact(clip, tri, cap, near_w=0.01):
+    """Big-table variant of _clip_near: fully-in-front triangles pass
+    through at their ORIGINAL rows (no rotation, no duplication), the
+    (rare) near-plane-crossing rows compact to `cap` slots, get clipped
+    by the uniform path, and append as 2*cap extension rows. Output is
+    [T + 2*cap] rows instead of [2T] — half the streamed table on
+    orb.gmap — and the full-table take_along_axis rotations disappear.
+    Crossing rows beyond `cap` drop (lowest row index first; `cap` bounds
+    the count of triangles simultaneously straddling a ~1 cm plane).
+    Tie-order note: clipped outputs live at higher row indices than the
+    uniform path would give them, so equal-z ties against them can
+    resolve differently — z ties are measure-zero content."""
+    t = clip.shape[0]
+    w = clip[..., 3]
+    n_in = jnp.sum((w > near_w).astype(jnp.int32), axis=-1)  # [T]
+    crossing = tri["valid"] & (n_in > 0) & (n_in < 3)
+
+    # pass-through originals; crossing/behind rows die here
+    tri_out = dict(tri)
+    tri_out["valid"] = tri["valid"] & (n_in == 3)
+
+    order = jnp.sort(jnp.where(crossing, jnp.arange(t, dtype=jnp.int32), t))[:cap]
+    safe = jnp.minimum(order, t - 1)
+    clip_c = clip[safe]
+    tri_c = {k: v[safe] for k, v in tri.items()}
+    tri_c["valid"] = tri_c["valid"] & (order < t)
+    clip_x, tri_x = _clip_near(clip_c, tri_c, near_w)  # [2*cap] extension
+
+    clip_out = jnp.concatenate([clip, clip_x], axis=0)
+    return clip_out, {
+        k: jnp.concatenate([tri_out[k], tri_x[k]], axis=0) for k in tri_out
+    }
 
 
 def _clip_near(clip, tri, near_w=0.01):
