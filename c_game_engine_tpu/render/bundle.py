@@ -71,6 +71,10 @@ class RenderBundle:
     # whether any texture/material/actor color carries alpha < 1: gates
     # the screen-door reveal-behind second render pass (render/raster.py)
     has_alpha: bool = struct.field(pytree_node=False, default=True)
+    # atlas slot id -> source texture asset name (Textures[] descriptor
+    # index bookkeeping, VulkanHelpers.c:120-137); lets tests resolve a
+    # tex id back to the decoded .gtex independently of the atlas packing
+    tex_names: tuple = struct.field(pytree_node=False, default=())
 
     @property
     def num_map_tris(self):
@@ -351,6 +355,7 @@ def build_render_bundle(cmap) -> RenderBundle:
     return RenderBundle(
         live_tri_bound=live_bound,
         has_alpha=has_alpha,
+        tex_names=tuple(tex_names),
         atlas=atlas,
         lightmap=cmap.lightmap,
         map_pos=jnp.asarray(map_pos),
