@@ -71,7 +71,7 @@ def _scene(name, size):
     }
     keep = soup["valid"]
     soup = {k: v[keep] for k, v in soup.items()}
-    return frame, soup, np.asarray(vp), np.asarray(cam_pos), st.env, rb
+    return frame, soup, np.asarray(vp), np.asarray(cam_pos), st.env, rb, cm
 
 
 def _sample_tex_np(tex, uv):
@@ -111,14 +111,37 @@ def _sample_tex_np(tex, uv):
     )
 
 
-def _trace(soup, origin, direction):
-    """Nearest Moller-Trumbore hit. Returns (t, tri_index, bary) or None."""
+def _front_mask(soup, vp, width, height):
+    """Renderer-equivalent front-facing mask: screen-space signed area of
+    the projected triangle, CULL_MODE == "neg" (raster.py:344-351,
+    VulkanPipelines.c:21-85 cull-back CCW). Two-sided rows always pass;
+    rows with any vertex at/behind w<=0 are kept (the renderer clips them
+    before culling, and the anchor only samples hits in front of the
+    camera anyway)."""
+    pos = soup["pos"].astype(np.float64)
+    hom = np.concatenate([pos, np.ones((*pos.shape[:2], 1))], -1)
+    clip = np.einsum("ij,tvj->tvi", vp.astype(np.float64), hom)
+    w = clip[..., 3]
+    safe_w = np.where(np.abs(w) > 1e-9, w, 1e-9)
+    sx = (clip[..., 0] / safe_w + 1.0) * 0.5 * width
+    sy = (clip[..., 1] / safe_w + 1.0) * 0.5 * height
+    area = (sx[:, 1] - sx[:, 0]) * (sy[:, 2] - sy[:, 0]) - (
+        sy[:, 1] - sy[:, 0]
+    ) * (sx[:, 2] - sx[:, 0])
+    return soup["twosided"] | (area < 0.0) | ~np.all(w > 0.01, axis=-1)
+
+
+def _trace(soup, origin, direction, front=None):
+    """Nearest Moller-Trumbore hit among front-facing (or two-sided)
+    triangles. Returns (t, tri_index, bary) or None."""
     v0 = soup["pos"][:, 0].astype(np.float64)
     e1 = soup["pos"][:, 1].astype(np.float64) - v0
     e2 = soup["pos"][:, 2].astype(np.float64) - v0
     pvec = np.cross(direction, e2)
     det = np.einsum("td,td->t", e1, pvec)
     ok = np.abs(det) > 1e-12
+    if front is not None:
+        ok = ok & front
     inv = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
     tvec = origin - v0
     u = np.einsum("td,td->t", tvec, pvec) * inv
@@ -189,10 +212,7 @@ def _expected_color(soup, rb, env, vp, ti, bary, hit_point, textures):
 @pytest.mark.parametrize("name", ["test", "button"])
 def test_render_matches_numpy_raytracer(name):
     size = 128
-    frame, soup, vp, cam_pos, env, rb = _scene(name, size)
-    from c_game_engine_tpu.compiler.compile import compile_map  # for resolver
-
-    cm = compile_map(f"/root/reference/assets/game/map/{name}.gmap")
+    frame, soup, vp, cam_pos, env, rb, cm = _scene(name, size)
     resolver = cm.aux["resolver"]
     textures = [resolver.texture(n) for n in rb.tex_names]
 
@@ -209,14 +229,14 @@ def test_render_matches_numpy_raytracer(name):
         d = pts[1] - pts[0]
         return pts[0], d / np.linalg.norm(d)
 
-    from c_game_engine_tpu.render.raster import KIND_SKY
+    front = _front_mask(soup, vp, size, size)
 
     checked = mismatched = 0
     worst = 0.0
     for py in range(4, size, 9):
         for px in range(4, size, 9):
             o, d = ray(px, py)
-            hit = _trace(soup, o, d)
+            hit = _trace(soup, o, d, front)
             if hit is None:
                 continue
             t, ti, (u, v) = hit
@@ -226,15 +246,13 @@ def test_render_matches_numpy_raytracer(name):
                 continue
             stable = True
             for jx, jy in ((-0.3, -0.3), (0.3, -0.3), (-0.3, 0.3), (0.3, 0.3)):
-                h2 = _trace(soup, *ray(px + jx, py + jy))
+                h2 = _trace(soup, *ray(px + jx, py + jy), front)
                 if h2 is None or h2[1] != ti:
                     stable = False
                     break
             if not stable:
                 continue
             hp = o + d * t
-            if int(soup["kind"][ti]) == KIND_SKY:
-                hp = o + d * t  # formula ignores depth for sky
             exp = _expected_color(soup, rb, env, vp, ti, (u, v), hp, textures)
             if exp is None:
                 continue
