@@ -38,10 +38,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--map", default="/root/reference/assets/game/map/test.gmap")
     args = ap.parse_args()
     H = W = args.size
 
-    cmap = compile_map("/root/reference/assets/game/map/test.gmap")
+    cmap = compile_map(args.map)
     rb = build_render_bundle(cmap)
     state = reset_batch(cmap, args.batch)
 
