@@ -883,8 +883,13 @@ def render_viewmodel(bundle, state, frame):
     sy_ = (ndc[..., 1] + 1) * 0.5 * h
     sz = ndc[..., 2]
 
-    show = (state.save.current_item == 0) & (state.camera_actor < 0)
-    valid = ok & show & ((bundle.vm_item == state.save.current_item) | True)
+    # per-item viewmodel dispatch: each pool triangle carries the item id
+    # whose SwitchTo enables it (EraserItem.c: eraser.gmdl for item 0;
+    # LaserStopperItem.c:21-24 disables the viewmodel, so item 1 simply
+    # owns no rows). Camera actors suppress the viewmodel like the
+    # reference's camera swap does.
+    show = state.camera_actor < 0
+    valid = ok & show & (bundle.vm_item == state.save.current_item)
 
     px = jnp.arange(w, dtype=jnp.float32) + 0.5
     py = jnp.arange(h, dtype=jnp.float32) + 0.5

@@ -206,3 +206,30 @@ def test_pallas_big_backend_matches_xla(test_map):
     with pltpu.force_tpu_interpret_mode():
         out = np.asarray(render(rb, cm, st, 128, 128, backend="pallas_big"))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_viewmodel_item_dispatch(test_map):
+    """Viewmodel visibility is table-driven by SaveData.current_item:
+    the eraser (item 0) enables its model (EraserItem.c SwitchTo), the
+    laser stopper (item 1) disables the viewmodel entirely
+    (LaserStopperItem.c:21-24), and no-item (-1) draws nothing."""
+    from c_game_engine_tpu.core.state import reset
+    from c_game_engine_tpu.render.bundle import build_render_bundle
+    from c_game_engine_tpu.render.raster import render_viewmodel
+
+    cm = test_map
+    rb = build_render_bundle(cm)
+    assert rb.vm_pos.shape[0] > 0, "eraser viewmodel rows missing"
+    st = reset(cm)
+    base = jnp.zeros((64, 64, 3))
+
+    def with_item(i):
+        s = st.replace(save=st.save.replace(current_item=jnp.array(i, jnp.int32)))
+        return np.asarray(render_viewmodel(rb, s, base))
+
+    eraser = with_item(0)
+    stopper = with_item(1)
+    none = with_item(-1)
+    assert eraser.sum() > 0.0, "eraser viewmodel should draw"
+    np.testing.assert_array_equal(stopper, np.asarray(base))
+    np.testing.assert_array_equal(none, np.asarray(base))
