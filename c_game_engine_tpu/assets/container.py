@@ -64,7 +64,10 @@ def read_asset(path: str | Path) -> Asset:
         raise AssetFormatError(
             f"{path}: compressed size {csize} != file remainder {len(raw) - HEADER.size}"
         )
-    data = gzip.decompress(raw[HEADER.size:])
+    try:
+        data = gzip.decompress(raw[HEADER.size:])
+    except (OSError, EOFError) as e:  # BadGzipFile / truncated stream
+        raise AssetFormatError(f"{path}: corrupt payload ({e})") from e
     if len(data) != dsize:
         raise AssetFormatError(f"{path}: decompressed size {len(data)} != header {dsize}")
     return Asset(AssetType(atype), type_version, data)

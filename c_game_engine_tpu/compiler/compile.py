@@ -379,7 +379,10 @@ def compile_map(
     voff = 0
     for model in gmap.models:
         mat = resolver.material(model.material)
-        tex = ctx.texture_id(mat.texture if mat else None)
+        # a material that resolves nowhere becomes the fallbackMaterial
+        # (MapMaterialLoader.c:21-26,56): unshaded + "_generic_fallback",
+        # which the atlas resolves to the checkerboard missing-texture image
+        tex = ctx.texture_id(mat.texture if mat else "_generic_fallback")
         shaded = bool(mat and int(mat.shader) == 1)  # ModelShader.SHADED
         mv.append(model.vertices)
         mi.append(model.indices.astype(np.int64) + voff)

@@ -30,7 +30,7 @@ from c_game_engine_tpu.compiler.compile import compile_map
 from c_game_engine_tpu.core.actions import Actions
 from c_game_engine_tpu.models.sim import change_map, reset_batch, step_batch
 from c_game_engine_tpu.utils.config import Options
-from c_game_engine_tpu.utils.log import log_info
+from c_game_engine_tpu.utils.log import log_error, log_info
 
 
 class Screen(enum.Enum):
@@ -56,8 +56,16 @@ class GameApp:
         batch: int = 1,
         initial_map: str | None = None,
         background_map: str | None = None,
+        show_debug: bool = False,
+        show_console: bool = False,
     ):
+        from c_game_engine_tpu.render.dprint import DPrintConsole
+
         self.map_dir = Path(map_dir)
+        # on-frame debug text (DPrint.h ENABLE_DEBUG_PRINT) + the last-2s
+        # message console (--show-console, DPrintConsole.c:84-91)
+        self.show_debug = show_debug
+        self.console = DPrintConsole(enabled=show_console)
         self.batch = batch
         self.screen = Screen.LOGO_SPLASH
         self.cmap = None
@@ -105,9 +113,18 @@ class GameApp:
         self.screen = Screen.LOADING
         self._t_load = time.monotonic()
         path = name if "/" in name else str(self.map_dir / f"{name}.gmap")
+        prev_path = self._current_path
         self._current_path = path
         if path not in self._cmap_cache:
-            self._cmap_cache[path] = compile_map(path)
+            try:
+                self._cmap_cache[path] = compile_map(path)
+            except Exception as e:  # noqa: BLE001 - any load fault recovers
+                # failed load: log and fall back to the menu before anything
+                # crashes (LoadingState.c:56-61 "get out before crash")
+                log_error("Failed to load map: %s (%s)", name, e)
+                self._current_path = prev_path
+                self.screen = Screen.MENU
+                return
         new_cmap = self._cmap_cache[path]
         if self.state is not None:
             self.state = change_map(new_cmap, self.state)
@@ -424,6 +441,19 @@ class GameApp:
             cmap, bundle = self._bundle_for(self._current_path)
             env_state = jax.tree.map(lambda x: x[env], self.state)
             frame = render_with_hud(bundle, cmap, env_state, height, width)
+            if self.show_debug or self.console.enabled:
+                # MainStateRender debug tail (MainState.c:100-109) + the
+                # console's last-2s messages (ProcessDPrintConsole)
+                from c_game_engine_tpu.render.dprint import (
+                    dprint_overlay,
+                    standard_debug_lines,
+                )
+
+                lines = (
+                    standard_debug_lines(cmap, env_state) if self.show_debug else []
+                )
+                lines += self.console.process(time.monotonic() * 1e3)
+                frame = dprint_overlay(frame, bundle.atlas, bundle.ui, lines)
             if s == Screen.IN_GAME:
                 return frame
             sd, _, st = self._ui_for(Screen.PAUSED)
@@ -459,5 +489,5 @@ class GameApp:
             return scr.render_options_screen(
                 bg, atlas, ui_assets, sd, st, titles[s]
             )
-        # LOADING: black with the map name
-        return bg * 0.0
+        # LOADING: centered "LOADING" text over black (LoadingState.c:77-85)
+        return scr.render_loading_screen(bg, atlas, ui_assets)

@@ -412,21 +412,43 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=Non
     # per-triangle mip level from texel/pixel density (exact for affine
     # mappings; perspective variation within one triangle is small at map
     # scales). Quantized to quarter-levels in the enc word so both
-    # backends carry it for free.
-    tex_wh = bundle.atlas.table[jnp.clip(tri["tex"], 0, None)][:, 2:4]  # [T, 2]
+    # backends carry it for free. The level is clamped to the texture's
+    # chain and pre-rounded for nearest-level textures HERE (per
+    # triangle), and the repeat/filter sampler flags ride bits 21/22, so
+    # the per-pixel shade needs only ONE metadata gather (mip_pairs) per
+    # tap — TPU gathers price per fetch (benchmarks/profile_gather.py).
+    tclip = jnp.clip(tri["tex"], 0, None)
+    t_meta = bundle.atlas.table[tclip]  # [T, 6]
+    tex_wh = t_meta[:, 2:4]
+    rep_t = t_meta[:, 4] > 0.5
+    bil_t = t_meta[:, 5] > 0.5
     du1 = (tri["uv"][:, 1] - tri["uv"][:, 0]) * tex_wh
     du2 = (tri["uv"][:, 2] - tri["uv"][:, 0]) * tex_wh
     texel_area = jnp.abs(du1[:, 0] * du2[:, 1] - du1[:, 1] * du2[:, 0])
     px_area = jnp.abs(area2)
     lod = 0.5 * jnp.log2(jnp.maximum(texel_area, 1e-12) / jnp.maximum(px_area, 1e-12))
     lod_q = jnp.clip(jnp.round(lod * 4.0), 0, 63).astype(jnp.int32)
+    # chain clamp (was per-pixel in sample()): same value because the
+    # clamp bound (n_mips-1)*4 is itself a quarter-level multiple
+    max_q = ((bundle.atlas.n_mips[tclip] - 1.0) * 4.0).astype(jnp.int32)
+    lod_qc = jnp.minimum(lod_q, jnp.maximum(max_q, 0))
+    # nearest-level textures round to an integer level at encode time
+    # (identical to the old per-pixel round(lodc) — half-to-even on the
+    # same clamped quarter-level value)
+    lod_q = jnp.where(
+        bil_t,
+        lod_qc,
+        (jnp.round(lod_qc.astype(jnp.float32) * 0.25) * 4.0).astype(jnp.int32),
+    )
 
     enc = (
         (tri["tex"] + 1)
         | (tri["kind"] << 12)
         | (tri["shaded"].astype(jnp.int32) << 14)
         | (lod_q << 15)
-    )  # [T] (< 2^21: exact as f32 through the tile kernel)
+        | (rep_t.astype(jnp.int32) << 21)
+        | (bil_t.astype(jnp.int32) << 22)
+    )  # [T] (< 2^23: exact as f32 through the tile kernel)
 
     if backend == "pallas":
         from c_game_engine_tpu.ops.raster_tiles import bin_triangles, raster_tiles_pallas
@@ -584,9 +606,10 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=Non
         kind = (genc >> 12) & 3
         shaded = ((genc >> 14) & 1).astype(bool)
         lod_pix = ((genc >> 15) & 63).astype(jnp.float32) * 0.25 if mipmaps else None
+        flags = (((genc >> 21) & 1).astype(bool), ((genc >> 22) & 1).astype(bool))
         rgb, disc = shade(
             bundle, state, gx, gy, uv, lmuv, color, tex_id, kind, shaded, frag_depth,
-            lod=lod_pix,
+            lod=lod_pix, flags=flags,
         )
         return rgb, disc & has & (kind != KIND_SKY)
 
@@ -807,12 +830,14 @@ def _clip_near(clip, tri, near_w=0.01):
 
 
 def shade(bundle, state, gx, gy, uv, lmuv, color, tex_id, kind, shaded, frag_depth,
-          lod=None):
+          lod=None, flags=None):
     """Exact fragment math from the extracted .gshd sources. Returns
     (rgb, discard): screen-door-discarded pixels are the CALLER's problem
-    (render() reveals the fragment behind via a second pass)."""
+    (render() reveals the fragment behind via a second pass). flags =
+    per-pixel (repeat, bilinear) from the enc word — enables sample()'s
+    single-metadata-gather path; results are bit-identical either way."""
     env = state.env
-    tex4 = sample(bundle.atlas, tex_id, uv, lod=lod)
+    tex4 = sample(bundle.atlas, tex_id, uv, lod=lod, flags=flags)
     # textureIndex == -1 -> flat vertex color (ui_f.gshd rule; used by the
     # debug wireframe layer)
     tex4 = jnp.where((tex_id < 0)[..., None], 1.0, tex4)

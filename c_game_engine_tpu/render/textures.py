@@ -36,6 +36,14 @@ class TextureAtlas:
     table: jnp.ndarray  # [T, 6] f32: x0, y0, w, h, repeat, filter
     mips: jnp.ndarray  # [T, MAX_MIPS, 4] f32: x0, y0, w, h per level
     n_mips: jnp.ndarray  # [T] f32 (1 = no chain)
+    # per-(texture, level) rect PAIR (level L | level min(L+1, last)) in
+    # one row: a trilinear tap's table metadata in ONE per-pixel gather
+    # instead of four (table/n_mips/mips[l0]/mips[l1]). TPU gathers price
+    # per FETCH, not per channel (benchmarks/profile_gather.py: 4ch and
+    # 16ch rows both ~22.5 ms per 2M-pixel gather at 256^2 B=32), so
+    # callers that already know repeat/filter per pixel (the rasterizer
+    # encodes them per triangle) save ~3 gathers per tap.
+    mip_pairs: jnp.ndarray | None = None  # [T, MAX_MIPS, 8] f32
     # DUAL-LEVEL rows: dual[y, x, 0:16] = blocked[y, x]; dual[y, x, 16:52]
     # = the NEXT mip level's 3x3 texel neighborhood (row-major (dy, dx),
     # 4 ch each) anchored at (x//2 - 1, y//2 - 1) in that level, wrapped/
@@ -154,12 +162,19 @@ def build_atlas(textures: list, dual: bool = False, dual_dtype=np.float32) -> Te
         n_mips[i] = len(ch)
     if not textures:
         mips[0, :] = [0, 0, 1, 1]
+    # rect pairs: level L alongside min(L+1, n_mips-1) — the mips table is
+    # already padded by repeating the last level, so mips[:, min(l+1, ...)]
+    # equals mips[:, l+1] except at the final slot
+    pairs = np.concatenate(
+        [mips, np.concatenate([mips[:, 1:], mips[:, -1:]], axis=1)], axis=2
+    )
     return TextureAtlas(
         blocked=jnp.asarray(blocked),
         table=jnp.asarray(table),
         mips=jnp.asarray(mips),
         n_mips=jnp.asarray(n_mips),
         dual=jnp.asarray(dual_arr) if dual else None,
+        mip_pairs=jnp.asarray(pairs),
     )
 
 
@@ -291,14 +306,37 @@ def _sample_dual(atlas, rect, rect1, repeat, bilinear, uv, frac):
     return c0 + (c1 - c0) * frac[..., None]
 
 
-def sample(atlas: TextureAtlas, tex_id, uv, lod=None):
+def sample(atlas: TextureAtlas, tex_id, uv, lod=None, flags=None):
     """Sample texture `tex_id` at `uv`. Broadcasts over leading dims.
     tex_id: [...] i32; uv: [..., 2]; lod: [...] f32 mip level or None
     (None = base level only, e.g. Options.mipmaps off). Returns [..., 4].
     Trilinear (blend between the two straddling levels) when the texture's
     filter flag is set; nearest level otherwise. With a dual-packed atlas
-    the trilinear tap is a single gather (_sample_dual)."""
+    the trilinear tap is a single gather (_sample_dual).
+
+    flags: optional ([...] repeat bool, [...] bilinear bool) the caller
+    already carries per pixel (the rasterizer encodes them per triangle,
+    render/raster.py enc bits 21/22). When given WITH a lod that is
+    already clamped to the texture's chain (the rasterizer clamps at
+    encode time), the per-pixel table metadata collapses to ONE mip_pairs
+    gather — 3 per-pixel gathers per trilinear tap instead of 6. Results
+    are bit-identical to the flagless path."""
     tid = jnp.clip(tex_id, 0, atlas.table.shape[0] - 1)
+    if flags is not None:
+        repeat, bilinear = flags
+        if lod is None:
+            rect = atlas.mip_pairs[tid, 0][..., :4]
+            return _sample_level(atlas, rect, repeat, bilinear, uv)
+        # lod is pre-clamped to [0, n_mips-1] and pre-rounded for
+        # nearest-level textures; frac at the chain end is 0 because the
+        # clamp lands exactly on an integer level
+        l0 = jnp.floor(lod).astype(jnp.int32)
+        frac = jnp.where(bilinear, lod - l0.astype(jnp.float32), 0.0)
+        pair = atlas.mip_pairs[tid, l0]  # [..., 8]
+        c0 = _sample_level(atlas, pair[..., 0:4], repeat, bilinear, uv)
+        c1 = _sample_level(atlas, pair[..., 4:8], repeat, bilinear, uv)
+        return c0 + (c1 - c0) * frac[..., None]
+
     t = atlas.table[tid]
     repeat = t[..., 4] > 0.5
     bilinear = t[..., 5] > 0.5

@@ -247,6 +247,19 @@ def render_options_screen(frame, atlas, ui, sd, st, title="Options"):
     return ui_draw(sd, st, atlas, ui, out)
 
 
+def render_loading_screen(frame, atlas, ui):
+    """LoadingStateRender (LoadingState.c:77-85): "LOADING" at size 16,
+    white, centered in the full window (FONT_HALIGN_CENTER /
+    FONT_VALIGN_MIDDLE, smallFont) over black."""
+    fh, fw = frame.shape[:2]
+    sx, sy = fw / VIRTUAL_W, fh / VIRTUAL_H
+    size = 16.0 * min(sx, sy)
+    return draw_text(
+        frame * 0.0, atlas, ui, _codes_arr("LOADING"), fw / 2, (fh - size) / 2,
+        size, jnp.array([1.0, 1.0, 1.0, 1.0]), halign="center",
+    )
+
+
 def render_level_select_screen(frame, atlas, ui, names, selected):
     """LevelSelectStateRender (LevelSelectState.c:67-121): header, 0x80000000
     band at y 315..435, neighbor rows at 50% alpha, progress + hint lines."""

@@ -264,7 +264,11 @@ def test_menu_screens_render_pixels(app):
     app._options_in_game = False
     opt = np.asarray(app.render_frame(size, size))
     assert np.abs(opt - bg).mean() > 0.005
-    for s in (menu, pause, ls, opt):
+    app._set_screen(Screen.LOADING)
+    # LoadingStateRender (LoadingState.c:77-85): "LOADING" text over black
+    loading = np.asarray(app.render_frame(size, size))
+    assert loading.max() > 0.5 and loading.mean() < 0.05
+    for s in (menu, pause, ls, opt, loading):
         assert s.min() >= 0.0 and s.max() <= 1.0
 
 
