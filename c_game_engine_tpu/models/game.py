@@ -440,7 +440,10 @@ class GameApp:
 
             cmap, bundle = self._bundle_for(self._current_path)
             env_state = jax.tree.map(lambda x: x[env], self.state)
-            frame = render_with_hud(bundle, cmap, env_state, height, width)
+            frame = render_with_hud(
+                bundle, cmap, env_state, height, width,
+                mipmaps=self.options.mipmaps, aniso=self.options.anisotropy,
+            )
             if self.show_debug or self.console.enabled:
                 # MainStateRender debug tail (MainState.c:100-109) + the
                 # console's last-2s messages (ProcessDPrintConsole)
@@ -484,7 +487,10 @@ class GameApp:
 
                 cmap, bundle = self._bundle_for(self._current_path)
                 env_state = jax.tree.map(lambda x: x[env], self.state)
-                bg = render_with_hud(bundle, cmap, env_state, height, width)
+                bg = render_with_hud(
+                    bundle, cmap, env_state, height, width,
+                    mipmaps=self.options.mipmaps, aniso=self.options.anisotropy,
+                )
                 bg = scr.draw_rect(bg, 0, 0, width, height, (0.0, 0.0, 0.0, 0.5))
             return scr.render_options_screen(
                 bg, atlas, ui_assets, sd, st, titles[s]

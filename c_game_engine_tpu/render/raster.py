@@ -250,7 +250,7 @@ def _resolve_backend(backend, height, width, bundle=None):
 
 
 def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=None,
-           mipmaps=True, ssaa=1, debug_wireframe=False):
+           mipmaps=True, ssaa=1, aniso=0, debug_wireframe=False):
     """Render one env's view. Returns f32 [H, W, 3] in [0, 1].
     debug_wireframe=True overlays depth-tested collision wireframes
     (JoltDebugRendererDrawBodies counterpart; render/debug_draw.py).
@@ -258,7 +258,12 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=Non
     Options.h:37-84). ssaa=N renders at N x the resolution and box-filters
     down — the software counterpart of Options.msaa (true MSAA's
     edge-only resolve has no software-rasterizer cost advantage, so this
-    supersamples shading too; PARITY.md #10).
+    supersamples shading too; PARITY.md #10). aniso=N (Options.anisotropy;
+    the sampler maxAnisotropy pick in VulkanResources.c:434-511) sharpens
+    oblique surfaces: the per-triangle mip level drops by half the
+    footprint's log-anisotropy and the shade averages N taps along the
+    footprint's major axis (requires mipmaps; 0/1 = isotropic, the
+    reference's anisotropy-off sampler).
 
     Pipeline (both backends): gather triangle soup -> PRE-CLIP compaction
     by the validity mask (the pool carries every LOD of every actor, so
@@ -270,7 +275,7 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=Non
     if ssaa > 1:
         big = render(
             bundle, cmap, state, height * ssaa, width * ssaa, fov_deg, backend,
-            mipmaps=mipmaps, ssaa=1, debug_wireframe=debug_wireframe,
+            mipmaps=mipmaps, ssaa=1, aniso=aniso, debug_wireframe=debug_wireframe,
         )
         return big.reshape(height, ssaa, width, ssaa, 3).mean((1, 3))
     backend = _resolve_backend(backend, height, width, bundle)
@@ -427,6 +432,42 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=Non
     texel_area = jnp.abs(du1[:, 0] * du2[:, 1] - du1[:, 1] * du2[:, 0])
     px_area = jnp.abs(area2)
     lod = 0.5 * jnp.log2(jnp.maximum(texel_area, 1e-12) / jnp.maximum(px_area, 1e-12))
+    aniso_uv = None
+    if aniso > 1 and mipmaps:
+        # anisotropic footprint (the maxAnisotropy sampler,
+        # VulkanResources.c:434-511): texel-per-pixel jacobian M = U P^-1
+        # from the triangle's affine screen->texel mapping; the pixel
+        # footprint in texel space is the ellipse MM^T with semi-axes
+        # rho_major/rho_minor (its singular values). The area-form lod
+        # above is log2(sqrt(rho_maj*rho_min)); subtracting
+        # 0.5*log2(ratio) yields log2(rho_minor) (clamped at `aniso`,
+        # blurring past the cap exactly like hardware), and the shade
+        # averages taps spanning the major axis.
+        dp1x, dp1y = sx[:, 1] - sx[:, 0], sy[:, 1] - sy[:, 0]
+        dp2x, dp2y = sx[:, 2] - sx[:, 0], sy[:, 2] - sy[:, 0]
+        det = dp1x * dp2y - dp1y * dp2x
+        idet = 1.0 / jnp.where(jnp.abs(det) > 1e-9, det, 1e-9)
+        m00 = (du1[:, 0] * dp2y - du2[:, 0] * dp1y) * idet
+        m01 = (-du1[:, 0] * dp2x + du2[:, 0] * dp1x) * idet
+        m10 = (du1[:, 1] * dp2y - du2[:, 1] * dp1y) * idet
+        m11 = (-du1[:, 1] * dp2x + du2[:, 1] * dp1x) * idet
+        a_ = m00 * m00 + m01 * m01
+        b_ = m10 * m10 + m11 * m11
+        c_ = m00 * m10 + m01 * m11
+        disc = jnp.sqrt(jnp.maximum((a_ - b_) ** 2 + 4.0 * c_ * c_, 0.0))
+        lam_hi = jnp.maximum(0.5 * (a_ + b_ + disc), 1e-12)
+        lam_lo = jnp.maximum(0.5 * (a_ + b_ - disc), 1e-12)
+        rho_maj = jnp.sqrt(lam_hi)
+        ratio = jnp.clip(jnp.sqrt(lam_hi / lam_lo), 1.0, float(aniso))
+        lod = lod - 0.5 * jnp.log2(ratio)
+        # major-axis eigenvector of [[a, c], [c, b]] in texel space
+        vx = jnp.where(jnp.abs(c_) > 1e-12, c_, jnp.where(a_ >= b_, 1.0, 0.0))
+        vy = jnp.where(jnp.abs(c_) > 1e-12, lam_hi - a_, jnp.where(a_ >= b_, 0.0, 1.0))
+        vn = jnp.sqrt(jnp.maximum(vx * vx + vy * vy, 1e-24))
+        span = rho_maj * (1.0 - 1.0 / ratio)  # texels covered by tap t in [-.5, .5]
+        aniso_uv = jnp.stack([vx / vn, vy / vn], -1) * span[:, None] / jnp.maximum(
+            tex_wh, 1.0
+        )  # [T, 2] normalized-uv tap step
     lod_q = jnp.clip(jnp.round(lod * 4.0), 0, 63).astype(jnp.int32)
     # chain clamp (was per-pixel in sample()): same value because the
     # clamp bound (n_mips-1)*4 is itself a quarter-level multiple
@@ -607,9 +648,12 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=Non
         shaded = ((genc >> 14) & 1).astype(bool)
         lod_pix = ((genc >> 15) & 63).astype(jnp.float32) * 0.25 if mipmaps else None
         flags = (((genc >> 21) & 1).astype(bool), ((genc >> 22) & 1).astype(bool))
+        astep = (
+            aniso_uv[jnp.clip(winner, 0, None)] if aniso_uv is not None else None
+        )
         rgb, disc = shade(
             bundle, state, gx, gy, uv, lmuv, color, tex_id, kind, shaded, frag_depth,
-            lod=lod_pix, flags=flags,
+            lod=lod_pix, flags=flags, aniso_step=astep, aniso_taps=aniso,
         )
         return rgb, disc & has & (kind != KIND_SKY)
 
@@ -830,14 +874,26 @@ def _clip_near(clip, tri, near_w=0.01):
 
 
 def shade(bundle, state, gx, gy, uv, lmuv, color, tex_id, kind, shaded, frag_depth,
-          lod=None, flags=None):
+          lod=None, flags=None, aniso_step=None, aniso_taps=0):
     """Exact fragment math from the extracted .gshd sources. Returns
     (rgb, discard): screen-door-discarded pixels are the CALLER's problem
     (render() reveals the fragment behind via a second pass). flags =
     per-pixel (repeat, bilinear) from the enc word — enables sample()'s
-    single-metadata-gather path; results are bit-identical either way."""
+    single-metadata-gather path; results are bit-identical either way.
+    aniso_step [..., 2] + aniso_taps>1: average `aniso_taps` trilinear
+    taps spaced along the footprint's major axis (render(aniso=N); the
+    step is zero for isotropic pixels, so taps coincide there)."""
     env = state.env
-    tex4 = sample(bundle.atlas, tex_id, uv, lod=lod, flags=flags)
+    if aniso_step is not None and aniso_taps > 1:
+        taps = min(int(aniso_taps), 8)
+        acc = None
+        for k in range(taps):
+            t = (k + 0.5) / taps - 0.5
+            s = sample(bundle.atlas, tex_id, uv + aniso_step * t, lod=lod, flags=flags)
+            acc = s if acc is None else acc + s
+        tex4 = acc / taps
+    else:
+        tex4 = sample(bundle.atlas, tex_id, uv, lod=lod, flags=flags)
     # textureIndex == -1 -> flat vertex color (ui_f.gshd rule; used by the
     # debug wireframe layer)
     tex4 = jnp.where((tex_id < 0)[..., None], 1.0, tex4)
@@ -973,11 +1029,12 @@ def render_viewmodel(bundle, state, frame):
 
 
 def render_with_hud(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=None,
-                    mipmaps=True):
+                    mipmaps=True, aniso=0):
     """Full frame: world render + viewmodel + HUD composite (MainStateRender,
     MainState.c:95-110: RenderMap -> RenderHUD)."""
     from c_game_engine_tpu.render.hud import render_hud
 
-    frame = render(bundle, cmap, state, height, width, fov_deg, backend, mipmaps=mipmaps)
+    frame = render(bundle, cmap, state, height, width, fov_deg, backend,
+                   mipmaps=mipmaps, aniso=aniso)
     frame = render_viewmodel(bundle, state, frame)
     return render_hud(bundle.atlas, bundle.hud, state, frame)
