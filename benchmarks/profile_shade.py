@@ -19,7 +19,7 @@ import jax
 from c_game_engine_tpu.compiler.compile import compile_map
 from c_game_engine_tpu.models.sim import reset_batch
 from c_game_engine_tpu.render.bundle import build_render_bundle
-from c_game_engine_tpu.render.raster import render
+from c_game_engine_tpu.render.raster import render_batch
 
 
 def timed(tag, fn, state, n=4):

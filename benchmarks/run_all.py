@@ -102,14 +102,12 @@ def bench_render(name, path, batch, frames, size=256):
     """Frame throughput: render `batch` envs `frames` times (state fixed;
     rendering cost is state-independent)."""
     from c_game_engine_tpu.render.bundle import build_render_bundle
-    from c_game_engine_tpu.render.raster import render
+    from c_game_engine_tpu.render.raster import render_batch
 
     cmap = compile_map(path)
     rb = build_render_bundle(cmap)
     state = reset_batch(cmap, batch)
-    rfn = jax.jit(
-        lambda s: jax.vmap(lambda e: render(rb, cmap, e, size, size))(s)
-    )
+    rfn = jax.jit(lambda s: render_batch(rb, cmap, s, size, size))
     img = rfn(state)
     jax.block_until_ready(img)
     t0 = time.perf_counter()

@@ -49,6 +49,17 @@ class Screen(enum.Enum):
 MIN_LOAD_TIME = 0.25  # LoadingState.c minimum display time
 
 
+def _aniso_ratio(enum_val: int) -> int:
+    """Options.anisotropy enum -> sampler max-anisotropy ratio.
+
+    Options.h:30-34 stores an enum (0=off, 1=2x, 2=4x, 3=8x, 4=16x); the
+    reference's CreateTextureSamplers switch maps it to the Vulkan
+    maxAnisotropy float the same way (VulkanInternal.c). render(aniso=...)
+    expects the ratio/tap count, so translate here.
+    """
+    return 0 if enum_val <= 0 else 2 ** min(int(enum_val), 4)
+
+
 class GameApp:
     def __init__(
         self,
@@ -442,7 +453,8 @@ class GameApp:
             env_state = jax.tree.map(lambda x: x[env], self.state)
             frame = render_with_hud(
                 bundle, cmap, env_state, height, width,
-                mipmaps=self.options.mipmaps, aniso=self.options.anisotropy,
+                mipmaps=self.options.mipmaps,
+                aniso=_aniso_ratio(self.options.anisotropy),
             )
             if self.show_debug or self.console.enabled:
                 # MainStateRender debug tail (MainState.c:100-109) + the
@@ -489,7 +501,8 @@ class GameApp:
                 env_state = jax.tree.map(lambda x: x[env], self.state)
                 bg = render_with_hud(
                     bundle, cmap, env_state, height, width,
-                    mipmaps=self.options.mipmaps, aniso=self.options.anisotropy,
+                    mipmaps=self.options.mipmaps,
+                    aniso=_aniso_ratio(self.options.anisotropy),
                 )
                 bg = scr.draw_rect(bg, 0, 0, width, height, (0.0, 0.0, 0.0, 0.5))
             return scr.render_options_screen(

@@ -249,6 +249,134 @@ def _resolve_backend(backend, height, width, bundle=None):
     return backend
 
 
+# Framebuffer tile for the reveal-pass shade compaction. Must equal
+# ops/raster_tiles.py TILE_H/TILE_W so kernel tile-gating and the packed
+# shade agree; (8, 128) is the native TPU layout tile, so packing is a
+# pure sublane-block permutation (no lane shuffles).
+RTILE_H, RTILE_W = 8, 128
+# Compacted pass-2 shade budget = num_tiles // REVEAL_TILE_FRAC tiles.
+# Frames whose screen-door pixels touch more tiles OVERFLOW to a
+# full-frame pass-2 shade via lax.cond — taken for real only outside
+# vmap (render()) or hoisted to the batch level (render_batch()).
+REVEAL_TILE_FRAC = 4
+
+
+def _tile_pack(a, order_c, nty, ntx):
+    """Gather [H, W, ...] image tiles into [K, RTILE_H, RTILE_W, ...] by
+    flat tile ids `order_c` (pre-clipped to a valid range)."""
+    extra = a.shape[2:]
+    at = a.reshape(nty, RTILE_H, ntx, RTILE_W, *extra)
+    at = jnp.moveaxis(at, 2, 1).reshape(nty * ntx, RTILE_H, RTILE_W, *extra)
+    return at[order_c]
+
+
+def _tile_unpack(vals, order, nty, ntx, fill):
+    """Scatter [K, RTILE_H, RTILE_W, C] tiles back to a [H, W, C] image
+    initialized to `fill`; order entries == nty*ntx (padding) drop."""
+    nt = nty * ntx
+    c = vals.shape[-1]
+    buf = jnp.broadcast_to(fill, (nt, RTILE_H, RTILE_W, c)).astype(vals.dtype)
+    buf = buf.at[order].set(vals, mode="drop")
+    buf = jnp.moveaxis(buf.reshape(nty, ntx, RTILE_H, RTILE_W, c), 1, 2)
+    return buf.reshape(nty * RTILE_H, ntx * RTILE_W, c)
+
+
+def _attrs_from_winner(vattr36, enc, winner, gxx, gyy):
+    """Per-pixel attribute fetch + perspective-correct interpolation from
+    a winner-id image of ANY shape (full frame or packed tiles). vattr36
+    [T, 36] is the flattened per-vertex table (vertex-major 3 x 12)."""
+    has = winner >= 0
+    widx = jnp.clip(winner, 0, None)
+    ga = vattr36[widx].reshape(*winner.shape, 3, 12)
+    v_sx = ga[..., 0]
+    v_sy = ga[..., 1]
+    v_iw = ga[..., 2]
+
+    def edge_at(i, j):
+        return (v_sx[..., j] - v_sx[..., i]) * (gyy - v_sy[..., i]) - (
+            v_sy[..., j] - v_sy[..., i]
+        ) * (gxx - v_sx[..., i])
+
+    e0 = edge_at(0, 1)
+    e1 = edge_at(1, 2)
+    e2 = edge_at(2, 0)
+    denom = e0 + e1 + e2
+    denom = jnp.where(jnp.abs(denom) > 1e-9, denom, 1e-9)
+    b = jnp.stack([e1 / denom, e2 / denom, e0 / denom], -1)
+
+    # perspective-correct interpolation
+    iw = jnp.sum(b * v_iw, -1)  # interp(1/w)
+    pw = 1.0 / jnp.maximum(iw, 1e-12)
+    bw = (b * v_iw)[..., None]
+
+    def interp(sl):  # channel slice of the packed gather
+        return jnp.sum(ga[..., sl] * bw, axis=-2) * pw[..., None]
+
+    uv = interp(slice(4, 6))
+    lmuv = interp(slice(6, 8))
+    color = interp(slice(8, 12))
+    z_pix = jnp.sum(b * ga[..., 3], -1)
+    frag_depth = z_pix * pw  # gl_FragCoord.z / gl_FragCoord.w
+    return has, winner, uv, lmuv, color, frag_depth, enc[widx]
+
+
+def _shade_generic(bundle, state, pass_data, gxx, gyy, aniso_uv, mipmaps, aniso):
+    """Decode the enc word and shade a pass's pixels at any image shape.
+    Returns (rgb, discard-with-sky-masked)."""
+    has, winner, uv, lmuv, color, frag_depth, genc = pass_data
+    tex_id = (genc & 0xFFF) - 1
+    kind = (genc >> 12) & 3
+    shaded = ((genc >> 14) & 1).astype(bool)
+    lod_pix = ((genc >> 15) & 63).astype(jnp.float32) * 0.25 if mipmaps else None
+    flags = (((genc >> 21) & 1).astype(bool), ((genc >> 22) & 1).astype(bool))
+    astep = aniso_uv[jnp.clip(winner, 0, None)] if aniso_uv is not None else None
+    rgb, disc = shade(
+        bundle, state, gxx, gyy, uv, lmuv, color, tex_id, kind, shaded, frag_depth,
+        lod=lod_pix, flags=flags, aniso_step=astep, aniso_taps=aniso,
+    )
+    return rgb, disc & has & (kind != KIND_SKY)
+
+
+def _pass_data_of(backend, raw, vattr36, enc, gxx, gyy):
+    """Normalize a pass's raw output to the per-pixel attribute tuple.
+    pallas: raw = the 12 in-kernel-interpolated images; others: raw = the
+    winner-id image, attributes gathered + interpolated here."""
+    if backend == "pallas":
+        (_zb, winner, frag_depth, uv_u, uv_v, lm_u, lm_v,
+         col_r, col_g, col_b, col_a, genc) = raw
+        has = winner >= 0
+        uv = jnp.stack([uv_u, uv_v], -1)
+        lmuv = jnp.stack([lm_u, lm_v], -1)
+        color = jnp.stack([col_r, col_g, col_b, col_a], -1)
+        return has, winner, uv, lmuv, color, frag_depth, genc
+    return _attrs_from_winner(vattr36, enc, raw, gxx, gyy)
+
+
+def _combine_layers(rgb1, disc1, has1, layer2):
+    rgb = jnp.where(disc1[..., None], layer2, rgb1)
+    rgb = jnp.where(has1[..., None], rgb, 0.0)
+    return jnp.clip(rgb, 0.0, 1.0)
+
+
+def _finish_reveal_full(bundle, ctx, state, height, width, mipmaps, aniso, backend):
+    """Overflow fallback: shade the reveal pass over the FULL frame from
+    the carried pass-2 raw output (winner image / kernel outs). Bitwise
+    the pre-compaction behavior."""
+    px = jnp.arange(width, dtype=jnp.float32) + 0.5
+    py = jnp.arange(height, dtype=jnp.float32) + 0.5
+    gxx, gyy = jnp.meshgrid(px, py)
+    p2 = _pass_data_of(
+        backend, ctx["raw2"], ctx.get("vattr36"), ctx.get("enc"), gxx, gyy
+    )
+    rgb2, disc2 = _shade_generic(
+        bundle, state, p2, gxx, gyy, ctx.get("aniso_uv"), mipmaps, aniso
+    )
+    env = state.env
+    fog_rgb = jnp.clip(env.fog_color[:3] * env.exposure, 0.0, 1.0)
+    layer2 = jnp.where((p2[0] & ~disc2)[..., None], rgb2, fog_rgb)
+    return _combine_layers(ctx["rgb1"], ctx["disc1"], ctx["has1"], layer2)
+
+
 def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=None,
            mipmaps=True, ssaa=1, aniso=0, debug_wireframe=False):
     """Render one env's view. Returns f32 [H, W, 3] in [0, 1].
@@ -258,12 +386,13 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=Non
     Options.h:37-84). ssaa=N renders at N x the resolution and box-filters
     down — the software counterpart of Options.msaa (true MSAA's
     edge-only resolve has no software-rasterizer cost advantage, so this
-    supersamples shading too; PARITY.md #10). aniso=N (Options.anisotropy;
-    the sampler maxAnisotropy pick in VulkanResources.c:434-511) sharpens
-    oblique surfaces: the per-triangle mip level drops by half the
-    footprint's log-anisotropy and the shade averages N taps along the
-    footprint's major axis (requires mipmaps; 0/1 = isotropic, the
-    reference's anisotropy-off sampler).
+    supersamples shading too; PARITY.md #10). aniso=N is the sampler
+    maxAnisotropy RATIO (VulkanResources.c:434-511; Options.anisotropy is
+    an enum — models/game.py::_aniso_ratio maps 0..4 -> 0/2/4/8/16): the
+    per-triangle mip level becomes log2(rho_major/clamped_ratio) and the
+    shade averages N taps along the footprint's major axis, for
+    linear-filtered mipmapped textures only (requires mipmaps; 0/1 =
+    isotropic, the reference's anisotropy-off sampler).
 
     Pipeline (both backends): gather triangle soup -> PRE-CLIP compaction
     by the validity mask (the pool carries every LOD of every actor, so
@@ -278,6 +407,50 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=Non
             mipmaps=mipmaps, ssaa=1, aniso=aniso, debug_wireframe=debug_wireframe,
         )
         return big.reshape(height, ssaa, width, ssaa, 3).mean((1, 3))
+    out, _, _ = _render_env(bundle, cmap, state, height, width, fov_deg, backend,
+                            mipmaps, aniso, debug_wireframe, defer_reveal=False)
+    return out
+
+
+def render_batch(bundle, cmap, states, height=256, width=256, fov_deg=90.0,
+                 backend=None, mipmaps=True, ssaa=1, aniso=0,
+                 debug_wireframe=False):
+    """Batched render with the reveal-overflow fallback hoisted OUT of the
+    per-env vmap. Under vmap a lax.cond lowers to a select — BOTH branches
+    execute for every env — which would erase the compacted pass-2
+    shade's savings. Here each env computes the tile-compacted reveal and
+    an overflow flag; the full-frame fallback re-shades all envs only
+    when ANY env's screen-door pixels touch more than the tile budget.
+    Prefer this over jax.vmap(render) in jitted batch paths (benchmarks,
+    rollouts). Returns f32 [B, H, W, 3]."""
+    if ssaa > 1:
+        big = render_batch(bundle, cmap, states, height * ssaa, width * ssaa,
+                           fov_deg, backend, mipmaps, 1, aniso, debug_wireframe)
+        return big.reshape(-1, height, ssaa, width, ssaa, 3).mean((2, 4))
+    rgb_cmp, overflow, ctx = jax.vmap(
+        lambda e: _render_env(bundle, cmap, e, height, width, fov_deg, backend,
+                              mipmaps, aniso, debug_wireframe, defer_reveal=True)
+    )(states)
+    if ctx is None:
+        return rgb_cmp
+    rbackend = _resolve_backend(backend, height, width, bundle)
+    return jax.lax.cond(
+        jnp.any(overflow),
+        lambda: jax.vmap(
+            lambda c, e: _finish_reveal_full(bundle, c, e, height, width,
+                                             mipmaps, aniso, rbackend)
+        )(ctx, states),
+        lambda: rgb_cmp,
+    )
+
+
+def _render_env(bundle, cmap, state, height, width, fov_deg, backend,
+                mipmaps, aniso, debug_wireframe, defer_reveal):
+    """One env's pipeline. Returns (rgb, reveal_overflow, reveal_ctx):
+    ctx is None when the reveal resolved locally (no alpha content, or a
+    non-tile-aligned framebuffer); otherwise rgb is the tile-compacted
+    result, and ctx carries what _finish_reveal_full needs to redo pass-2
+    over the full frame when `reveal_overflow` fires."""
     backend = _resolve_backend(backend, height, width, bundle)
     vp, cam_pos = camera_matrix(cmap, state, width, height, fov_deg)
     parts = gather_triangles(bundle, cmap, state, camera_pos_hint=cam_pos)
@@ -459,7 +632,15 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=Non
         lam_lo = jnp.maximum(0.5 * (a_ + b_ - disc), 1e-12)
         rho_maj = jnp.sqrt(lam_hi)
         ratio = jnp.clip(jnp.sqrt(lam_hi / lam_lo), 1.0, float(aniso))
-        lod = lod - 0.5 * jnp.log2(ratio)
+        # Only linear-filtered, mipmapped textures use the anisotropic
+        # sampler in the reference (VulkanResources.c:438-452 picks the
+        # *NoAnisotropy variant for nearest filter or useMipmaps=false);
+        # ineligible triangles keep the isotropic lod and a zero tap step.
+        elig = bil_t & (bundle.atlas.n_mips[tclip] > 1)
+        # spec/hardware lod with anisotropy: log2(rho_maj / clamped_ratio)
+        # == log2(rho_minor) below the cap; past the cap it blurs only to
+        # rho_maj/N instead of re-sharpening like the area-form would.
+        lod = jnp.where(elig, jnp.log2(rho_maj) - jnp.log2(ratio), lod)
         # major-axis eigenvector of [[a, c], [c, b]] in texel space
         vx = jnp.where(jnp.abs(c_) > 1e-12, c_, jnp.where(a_ >= b_, 1.0, 0.0))
         vy = jnp.where(jnp.abs(c_) > 1e-12, lam_hi - a_, jnp.where(a_ >= b_, 0.0, 1.0))
@@ -468,6 +649,7 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=Non
         aniso_uv = jnp.stack([vx / vn, vy / vn], -1) * span[:, None] / jnp.maximum(
             tex_wh, 1.0
         )  # [T, 2] normalized-uv tap step
+        aniso_uv = jnp.where(elig[:, None], aniso_uv, 0.0)
     lod_q = jnp.clip(jnp.round(lod * 4.0), 0, 63).astype(jnp.int32)
     # chain clamp (was per-pixel in sample()): same value because the
     # clamp bound (n_mips-1)*4 is itself a quarter-level multiple
@@ -574,23 +756,18 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=Non
             -1,
         )  # [T, 3, 12]
 
-    def run_pass(exclude, cnt_override=None):
-        """One z-buffer + attribute pass; exclude [H, W] skips a triangle
-        id per pixel. Returns (has, winner, uv, lmuv, color, frag_depth,
-        genc)."""
+    vattr36 = None if backend == "pallas" else vattr.reshape(vattr.shape[0], 36)
+
+    def z_pass(exclude, cnt_override=None):
+        """One full-frame raster pass; exclude [H, W] skips a triangle id
+        per pixel. Returns the raw output for _pass_data_of: the 12
+        in-kernel-interpolated images (pallas) or the winner-id image
+        (xla / pallas_big; winner ids are in ORIGINAL row space)."""
         if backend == "pallas":
-            outs = raster_tiles_pallas(
+            return raster_tiles_pallas(
                 tri48, idx, cnt if cnt_override is None else cnt_override,
                 height, width, exclude=exclude,
             )
-            (_zb, winner, frag_depth, uv_u, uv_v, lm_u, lm_v,
-             col_r, col_g, col_b, col_a, genc) = outs
-            has = winner >= 0
-            uv = jnp.stack([uv_u, uv_v], -1)
-            lmuv = jnp.stack([lm_u, lm_v], -1)
-            color = jnp.stack([col_r, col_g, col_b, col_a], -1)
-            return has, winner, uv, lmuv, color, frag_depth, genc
-
         if backend == "pallas_big":
             from c_game_engine_tpu.ops.raster_tiles_big import raster_tiles_big
 
@@ -598,101 +775,90 @@ def render(bundle, cmap, state, height=256, width=256, fov_deg=90.0, backend=Non
                 tri16_t, cboxb, scbb, height, width,
                 exclude=exclude, tile_on=cnt_override,
             )
-            # winner is in ORIGINAL row space (same as the XLA pass)
-            has = winner >= 0
-            widx = jnp.clip(winner, 0, None)
-            ga = vattr[widx].reshape(*winner.shape, 3, 12)
-        else:
-            winner = _pass1_xla(
-                sx, sy, sz, tri_ok, gx, gy, height, width, exclude=exclude
-            )
-            has = winner >= 0
-            widx = jnp.clip(winner, 0, None)
-            ga = vattr[widx]  # [H, W, 3, 12]
-        v_sx = ga[..., 0]
-        v_sy = ga[..., 1]
-        v_iw = ga[..., 2]
+            return winner
+        return _pass1_xla(sx, sy, sz, tri_ok, gx, gy, height, width, exclude=exclude)
 
-        def edge_at(i, j):
-            return (v_sx[..., j] - v_sx[..., i]) * (gy - v_sy[..., i]) - (
-                v_sy[..., j] - v_sy[..., i]
-            ) * (gx - v_sx[..., i])
-
-        e0 = edge_at(0, 1)
-        e1 = edge_at(1, 2)
-        e2 = edge_at(2, 0)
-        denom = e0 + e1 + e2
-        denom = jnp.where(jnp.abs(denom) > 1e-9, denom, 1e-9)
-        b = jnp.stack([e1 / denom, e2 / denom, e0 / denom], -1)  # [H, W, 3]
-
-        # perspective-correct interpolation
-        iw = jnp.sum(b * v_iw, -1)  # interp(1/w)
-        pw = 1.0 / jnp.maximum(iw, 1e-12)
-        bw = (b * v_iw)[..., None]
-
-        def interp(sl):  # channel slice of the packed gather
-            return jnp.sum(ga[..., sl] * bw, axis=-2) * pw[..., None]
-
-        uv = interp(slice(4, 6))
-        lmuv = interp(slice(6, 8))
-        color = interp(slice(8, 12))
-        z_pix = jnp.sum(b * ga[..., 3], -1)
-        frag_depth = z_pix * pw  # gl_FragCoord.z / gl_FragCoord.w
-        genc = enc[widx]
-        return has, winner, uv, lmuv, color, frag_depth, genc
-
-    def shade_pass(pass_data):
-        has, winner, uv, lmuv, color, frag_depth, genc = pass_data
-        tex_id = (genc & 0xFFF) - 1
-        kind = (genc >> 12) & 3
-        shaded = ((genc >> 14) & 1).astype(bool)
-        lod_pix = ((genc >> 15) & 63).astype(jnp.float32) * 0.25 if mipmaps else None
-        flags = (((genc >> 21) & 1).astype(bool), ((genc >> 22) & 1).astype(bool))
-        astep = (
-            aniso_uv[jnp.clip(winner, 0, None)] if aniso_uv is not None else None
-        )
-        rgb, disc = shade(
-            bundle, state, gx, gy, uv, lmuv, color, tex_id, kind, shaded, frag_depth,
-            lod=lod_pix, flags=flags, aniso_step=astep, aniso_taps=aniso,
-        )
-        return rgb, disc & has & (kind != KIND_SKY)
-
-    p1 = run_pass(None)
+    raw1 = z_pass(None)
+    p1 = _pass_data_of(backend, raw1, vattr36, enc, gx, gy)
     has1, win1 = p1[0], p1[1]
-    rgb, disc1 = shade_pass(p1)
+    rgb, disc1 = _shade_generic(bundle, state, p1, gx, gy, aniso_uv, mipmaps, aniso)
     env = state.env
     fog_rgb = jnp.clip(env.fog_color[:3] * env.exposure, 0.0, 1.0)
-    if bundle.has_alpha:
-        # ---- screen-door reveal-behind (PARITY #10): re-rasterize with
-        # the discarded winner excluded per pixel; one peel level (a
-        # discarded second layer falls back to fog, like the single-layer
-        # path did everywhere). Tiles with no discarded pixel get a ZERO
-        # loop trip count, so the second kernel pass is near-free on the
-        # typical mostly-opaque frame.
-        ex = jnp.where(disc1, win1, -1)
-        cnt2 = None
-        if backend in ("pallas", "pallas_big"):
-            from c_game_engine_tpu.ops.raster_tiles import TILE_H, TILE_W
+    if not bundle.has_alpha:
+        out = _combine_layers(
+            rgb, disc1, has1, jnp.broadcast_to(fog_rgb, (height, width, 3))
+        )
+        return out, jnp.array(False), None
 
-            disc_tile = disc1.reshape(
-                height // TILE_H, TILE_H, width // TILE_W, TILE_W
-            ).any((1, 3))
-            if backend == "pallas":
-                cnt2 = jnp.where(disc_tile[..., None, None], cnt, 0)
-            else:
-                # gate whole tiles in the streamed kernel's second pass
-                # ([NTy*NTx, 1] i32, the kernel's flattened tile order)
-                cnt2 = disc_tile.reshape(-1, 1).astype(jnp.int32)
-        p2 = run_pass(ex, cnt_override=cnt2)
-        rgb2, disc2 = shade_pass(p2)
+    # ---- screen-door reveal-behind (PARITY #10): re-rasterize with the
+    # discarded winner excluded per pixel; one peel level (a discarded
+    # second layer falls back to fog, like the single-layer path did
+    # everywhere). Kernel tiles with no discarded pixel get a ZERO trip
+    # count, and the pass-2 SHADE runs only on the compacted tiles below,
+    # so the whole reveal is near-free on the typical mostly-opaque frame.
+    ex = jnp.where(disc1, win1, -1)
+    tile_ok = height % RTILE_H == 0 and width % RTILE_W == 0
+    cnt2 = None
+    if tile_ok:
+        nty, ntx = height // RTILE_H, width // RTILE_W
+        disc_tile = disc1.reshape(nty, RTILE_H, ntx, RTILE_W).any((1, 3))
+        if backend == "pallas":
+            cnt2 = jnp.where(disc_tile[..., None, None], cnt, 0)
+        elif backend == "pallas_big":
+            # gate whole tiles in the streamed kernel's second pass
+            # ([NTy*NTx, 1] i32, the kernel's flattened tile order)
+            cnt2 = disc_tile.reshape(-1, 1).astype(jnp.int32)
+    raw2 = z_pass(ex, cnt_override=cnt2)
+    if not tile_ok:
+        # non-tile-aligned framebuffer (xla backend only): full shade
+        p2 = _pass_data_of(backend, raw2, vattr36, enc, gx, gy)
+        rgb2, disc2 = _shade_generic(
+            bundle, state, p2, gx, gy, aniso_uv, mipmaps, aniso
+        )
         layer2 = jnp.where((p2[0] & ~disc2)[..., None], rgb2, fog_rgb)
-        rgb = jnp.where(disc1[..., None], layer2, rgb)
-    else:
-        rgb = jnp.where(disc1[..., None], fog_rgb, rgb)
-    # background (no winner): fog color (the clear color is the fog color in
-    # spirit; Vulkan clears to black — use black)
-    rgb = jnp.where(has1[..., None], rgb, 0.0)
-    return jnp.clip(rgb, 0.0, 1.0)
+        return _combine_layers(rgb, disc1, has1, layer2), jnp.array(False), None
+
+    # tile-compacted pass-2 shade: gather only the tiles containing
+    # discarded pixels (budget K), shade them as a [K*8, 128] image, and
+    # scatter the revealed layer back. Index-ordered stream compaction
+    # via cumsum+scatter (a sort would pay n log^2 n on the tile list).
+    nt = nty * ntx
+    K = min(nt, max(8, nt // REVEAL_TILE_FRAC))
+    flat = disc_tile.reshape(-1)
+    overflow = jnp.sum(flat.astype(jnp.int32)) > K
+    dest = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    dest = jnp.where(flat & (dest < K), dest, K)
+    order = jnp.full((K,), nt, jnp.int32).at[dest].set(
+        jnp.arange(nt, dtype=jnp.int32), mode="drop"
+    )
+    order_c = jnp.minimum(order, nt - 1)
+    pk = lambda a: _tile_pack(a, order_c, nty, ntx)
+    gxp, gyp = pk(gx), pk(gy)
+    raw2p = tuple(pk(o) for o in raw2) if backend == "pallas" else pk(raw2)
+    p2p = _pass_data_of(backend, raw2p, vattr36, enc, gxp, gyp)
+    rgb2p, disc2p = _shade_generic(
+        bundle, state, p2p, gxp, gyp, aniso_uv, mipmaps, aniso
+    )
+    layer2p = jnp.where((p2p[0] & ~disc2p)[..., None], rgb2p, fog_rgb)
+    layer2_img = _tile_unpack(layer2p, order, nty, ntx, fog_rgb)
+    rgb_cmp = _combine_layers(rgb, disc1, has1, layer2_img)
+
+    ctx = dict(rgb1=rgb, disc1=disc1, has1=has1, raw2=raw2)
+    if backend != "pallas":
+        ctx["vattr36"] = vattr36
+        ctx["enc"] = enc
+    if aniso_uv is not None:
+        ctx["aniso_uv"] = aniso_uv
+    if defer_reveal:
+        return rgb_cmp, overflow, ctx
+    out = jax.lax.cond(
+        overflow,
+        lambda: _finish_reveal_full(
+            bundle, ctx, state, height, width, mipmaps, aniso, backend
+        ),
+        lambda: rgb_cmp,
+    )
+    return out, jnp.array(False), None
 
 
 def _pass1_xla(sx, sy, sz, tri_ok, gx, gy, height, width, exclude=None):

@@ -11,9 +11,12 @@ flags, VulkanResources.c:434-511):
              rasterizer selects the level from the per-triangle
              texel/pixel density (render/raster.py), honoring
              Options.mipmaps (Options.h:37-84) via render(mipmaps=...).
-Anisotropic filtering (Options anisotropy 0-16x) has no software
-equivalent at sensible cost — mip selection uses the isotropic density
-(PARITY.md #10).
+Anisotropic filtering (Options anisotropy 0-16x) is implemented in the
+rasterizer: render(aniso=ratio) fits the pixel footprint ellipse in texel
+space per triangle and averages trilinear taps along its major axis
+(render/raster.py, the maxAnisotropy sampler of VulkanResources.c:434-511);
+only linear-filtered mipmapped textures are eligible, like the reference's
+sampler selection.
 """
 
 from __future__ import annotations
