@@ -129,9 +129,15 @@ def main():
     kernel_j = jax.jit(jax.vmap(kernel))
     zw = timed("kernel", kernel_j, outs[0], outs[1], outs[2])
 
-    def gather(vattr, winner):
+    def fetch(vattr, winner):
         widx = jnp.clip(winner, 0, None)
-        ga = vattr[widx].reshape(*winner.shape, 3, 12)
+        return vattr[widx]
+
+    fetch_j = jax.jit(jax.vmap(fetch))
+    ga36 = timed("g_fetch", fetch_j, outs[3], zw[1])
+
+    def interp36(ga36, winner):
+        ga = ga36.reshape(*winner.shape, 3, 12)
         px = jnp.arange(W, dtype=jnp.float32) + 0.5
         py = jnp.arange(H, dtype=jnp.float32) + 0.5
         gx, gy = jnp.meshgrid(px, py)
@@ -155,18 +161,16 @@ def main():
         return interp(slice(4, 6)), interp(slice(6, 8)), interp(slice(8, 12)), \
             jnp.sum(b * ga[..., 3], -1) * pw
 
-    gather_j = jax.jit(jax.vmap(gather))
-    timed("gather", gather_j, outs[3], zw[1])
+    interp_j = jax.jit(jax.vmap(interp36))
+    timed("g_interp", interp_j, ga36, zw[1])
 
-    full = jax.jit(lambda s: jax.vmap(
-        lambda e: raster.render(rb, cmap, e, H, W))(s))
+    full = jax.jit(lambda s: raster.render_batch(rb, cmap, s, H, W))
     timed("full", full, state)
-    no_mip = jax.jit(lambda s: jax.vmap(
-        lambda e: raster.render(rb, cmap, e, H, W, mipmaps=False))(s))
+    no_mip = jax.jit(
+        lambda s: raster.render_batch(rb, cmap, s, H, W, mipmaps=False))
     timed("no_mip", no_mip, state)
     rbna = rb.replace(has_alpha=False)
-    no_rev = jax.jit(lambda s: jax.vmap(
-        lambda e: raster.render(rbna, cmap, e, H, W))(s))
+    no_rev = jax.jit(lambda s: raster.render_batch(rbna, cmap, s, H, W))
     timed("no_rev", no_rev, state)
 
 

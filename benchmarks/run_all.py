@@ -99,20 +99,33 @@ def bench_config(name, path, batch, ticks):
 
 
 def bench_render(name, path, batch, frames, size=256):
-    """Frame throughput: render `batch` envs `frames` times (state fixed;
-    rendering cost is state-independent)."""
+    """Frame throughput over a SCRIPTED CAMERA SWEEP: each timed frame
+    renders the spawn state rotated to a different yaw (k * 2pi/frames),
+    so view-dependent costs (cull/compaction loads, per-tile binning,
+    chunk-bbox pruning) are averaged over headings instead of measured at
+    one lucky pose."""
+    import numpy as np
+
     from c_game_engine_tpu.render.bundle import build_render_bundle
     from c_game_engine_tpu.render.raster import render_batch
 
     cmap = compile_map(path)
     rb = build_render_bundle(cmap)
     state = reset_batch(cmap, batch)
+    states = [
+        state.replace(
+            player=state.player.replace(
+                yaw=state.player.yaw + k * (2.0 * np.pi / max(frames, 1))
+            )
+        )
+        for k in range(frames)
+    ]
     rfn = jax.jit(lambda s: render_batch(rb, cmap, s, size, size))
-    img = rfn(state)
+    img = rfn(states[-1])
     jax.block_until_ready(img)
     t0 = time.perf_counter()
-    for _ in range(frames):
-        img = rfn(state)
+    for sk in states:
+        img = rfn(sk)
     jax.block_until_ready(img)
     dt = time.perf_counter() - t0
     fps = batch * frames / dt

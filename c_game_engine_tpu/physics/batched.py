@@ -965,22 +965,15 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
         def substep(carry, _):
             dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz = carry
             on = awake  # sleeping lanes: frozen pose, no gravity/pushes
+            # SYMPLECTIC (semi-implicit) Euler, Jolt's step order: gravity
+            # -> velocity constraint solve -> THEN position integration
+            # with the post-solve velocities (at the bottom of this
+            # substep). Integrating positions before the solve leaks one
+            # substep of unopposed tangential gravity into the pose every
+            # substep — a measured ~g*h*sin(theta) = 0.04 m/s downhill
+            # creep through static friction on a 30 deg slope
+            # (tests/test_solver_oracle.py::test_friction_cone_holds_*).
             dvy = jnp.where(on, dvy + GRAVITY_Y * h, dvy)
-            dpx = jnp.where(on, dpx + dvx * h, dpx)
-            dpy = jnp.where(on, dpy + dvy * h, dpy)
-            dpz = jnp.where(on, dpz + dvz * h, dpz)
-            # quaternion integration: q += 0.5*h*(omega_quat * q)
-            ow = 0.0
-            nqx = dqx + 0.5 * h * (dwx * dqw + dwy * dqz - dwz * dqy)
-            nqy = dqy + 0.5 * h * (-dwx * dqz + dwy * dqw + dwz * dqx)
-            nqz = dqz + 0.5 * h * (dwx * dqy - dwy * dqx + dwz * dqw)
-            nqw = dqw + 0.5 * h * (-dwx * dqx - dwy * dqy - dwz * dqz)
-            qn = jnp.sqrt(nqx * nqx + nqy * nqy + nqz * nqz + nqw * nqw)
-            qn = jnp.maximum(qn, 1e-12)
-            dqx = jnp.where(on, nqx / qn, dqx)
-            dqy = jnp.where(on, nqy / qn, dqy)
-            dqz = jnp.where(on, nqz / qn, dqz)
-            dqw = jnp.where(on, nqw / qn, dqw)
 
             # ------------------------------------------ vs player [D, B]
             # BEFORE the contact solver, matching the reference's order
@@ -1046,7 +1039,7 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
             tnz = jnp.where(coherent, tnz, 0.0)
 
             def tri_centroid_pass(vo):
-                dvx, dvy, dvz, dwx, dwy, dwz = vo
+                dvx, dvy, dvz, dwx, dwy, dwz, acc = vo
                 rx_ = tc_px - ccx
                 ry_ = tc_py - ccy
                 rz_ = tc_pz - ccz
@@ -1061,6 +1054,7 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
                 ca_x, ca_y, ca_z = g.cross3(ia_x, ia_y, ia_z, rx_, ry_, rz_)
                 k_n = d_inv_m + ca_x * tnx + ca_y * tny + ca_z * tnz
                 jn = jnp.where(coherent & (vn < 0), -vn / jnp.maximum(k_n, 1e-9), 0.0) * RELAX
+                jn_tot = acc["tc_n"] + jn
                 ix_, iy_, iz_ = tnx * jn, tny * jn, tnz * jn
                 # friction at the centroid
                 vtx = vptx - tnx * vn
@@ -1073,11 +1067,22 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
                 )
                 ct_x, ct_y, ct_z = g.cross3(ft_x, ft_y, ft_z, rx_, ry_, rz_)
                 k_t = d_inv_m + ct_x * tdx + ct_y * tdy + ct_z * tdz
+                # Coulomb clamp vs the ACCUMULATED normal impulse (Jolt's
+                # sequential-impulse bookkeeping). Clamping against the
+                # per-iteration jn increment — which decays to ~0 once the
+                # normal velocity is resolved — under-applies friction by
+                # ~RELAX: measured mu_eff 0.65 of the real 0.922 in steady
+                # sliding (tests/test_solver_oracle.py friction oracles).
                 jt = jnp.where(
                     coherent,
-                    jnp.minimum(vt_mag / jnp.maximum(k_t, 1e-9), d_mu * jnp.maximum(jn, 0.0)),
+                    jnp.clip(
+                        vt_mag / jnp.maximum(k_t, 1e-9) * RELAX,
+                        0.0,
+                        jnp.maximum(d_mu * jn_tot - acc["tc_t"], 0.0),
+                    ),
                     0.0,
-                ) * RELAX
+                )
+                acc = dict(acc, tc_n=jn_tot, tc_t=acc["tc_t"] + jt)
                 ix_, iy_, iz_ = ix_ - tdx * jt, iy_ - tdy * jt, iz_ - tdz * jt
                 dvx = dvx + ix_ * d_inv_m
                 dvy = dvy + iy_ * d_inv_m
@@ -1086,10 +1091,10 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
                 wx_, wy_, wz_ = rot_inv_apply(
                     dqx, dqy, dqz, dqw, iIx, iIy, iIz, tqx, tqy, tqz
                 )
-                return dvx + 0.0, dvy + 0.0, dvz + 0.0, dwx + wx_, dwy + wy_, dwz + wz_
+                return dvx + 0.0, dvy + 0.0, dvz + 0.0, dwx + wx_, dwy + wy_, dwz + wz_, acc
 
             def solver_iter(_, vo):
-                dvx, dvy, dvz, dwx, dwy, dwz = vo
+                dvx, dvy, dvz, dwx, dwy, dwz, acc = vo
                 e2 = lambda a: a[:, None, :]
                 rx_ = c_px - e2(ccx)
                 ry_ = c_py - e2(ccy)
@@ -1106,6 +1111,7 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
                 axr_x, axr_y, axr_z = g.cross3(ax_, ay_, az_, rx_, ry_, rz_)
                 k_n = d_inv_m[:, None, :] + g.dot3(axr_x, axr_y, axr_z, c_nx, c_ny, c_nz)
                 jn = jnp.where(active & (vn < 0), -vn / jnp.maximum(k_n, 1e-9), 0.0) * RELAX
+                tp_n = acc["tp_n"] + jn
                 impx, impy, impz = c_nx * jn, c_ny * jn, c_nz * jn
                 dvx = dvx + jnp.sum(impx, 1) * d_inv_m
                 dvy = dvy + jnp.sum(impy, 1) * d_inv_m
@@ -1133,9 +1139,18 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
                 )
                 atr_x, atr_y, atr_z = g.cross3(at_x, at_y, at_z, rx_, ry_, rz_)
                 k_t = d_inv_m[:, None, :] + g.dot3(atr_x, atr_y, atr_z, tdx, tdy, tdz)
-                jt_needed = vt_mag / jnp.maximum(k_t, 1e-9)
-                jt = jnp.where(active, jnp.minimum(jt_needed, d_mu[:, None, :] * jnp.maximum(jn, 0.0)), 0.0)
-                fx, fy, fz = -tdx * jt * RELAX, -tdy * jt * RELAX, -tdz * jt * RELAX
+                # accumulated-impulse Coulomb clamp (see tri_centroid_pass)
+                jt = jnp.where(
+                    active,
+                    jnp.clip(
+                        vt_mag / jnp.maximum(k_t, 1e-9) * RELAX,
+                        0.0,
+                        jnp.maximum(d_mu[:, None, :] * tp_n - acc["tp_t"], 0.0),
+                    ),
+                    0.0,
+                )
+                acc = dict(acc, tp_n=tp_n, tp_t=acc["tp_t"] + jt)
+                fx, fy, fz = -tdx * jt, -tdy * jt, -tdz * jt
                 dvx = dvx + jnp.sum(fx, 1) * d_inv_m
                 dvy = dvy + jnp.sum(fy, 1) * d_inv_m
                 dvz = dvz + jnp.sum(fz, 1) * d_inv_m
@@ -1146,7 +1161,7 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
                 dwx = dwx + jnp.sum(wx_, 1)
                 dwy = dwy + jnp.sum(wy_, 1)
                 dwz = dwz + jnp.sum(wz_, 1)
-                return dvx, dvy, dvz, dwx, dwy, dwz
+                return dvx, dvy, dvz, dwx, dwy, dwz, acc
 
             def tri_iter(i_, vo):
                 return solver_iter(i_, tri_centroid_pass(vo))
@@ -1158,15 +1173,24 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
             dpy = dpy + jnp.sum(c_ny * over, 1) / t_nact
             dpz = dpz + jnp.sum(c_nz * over, 1) / t_nact
 
+            def _tri_acc0():
+                # per-contact accumulated normal/friction impulses for the
+                # Coulomb clamp (tc_* = centroid pass, tp_* = per-point)
+                return {
+                    "tc_n": jnp.zeros_like(tc_px), "tc_t": jnp.zeros_like(tc_px),
+                    "tp_n": jnp.zeros_like(c_d), "tp_t": jnp.zeros_like(c_d),
+                }
+
             def loop_tri_only(c):
                 # no live pair candidates this tick: pure fused triangle solve
+                c = c + (_tri_acc0(),)
                 if _unroll_loops():
                     for _i in range(SOLVER_ITERS):
                         c = tri_iter(_i, c)
                 else:
                     c = jax.lax.fori_loop(0, SOLVER_ITERS, tri_iter, c)
                 zz = jnp.zeros_like(dpx)
-                return c + (zz, zz, zz)
+                return c[:6] + (zz, zz, zz)
 
             def loop_with_pairs(c):
                 # ------------------- pair contacts (compacted SAT manifolds) -----
@@ -1232,7 +1256,7 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
                 cen_z = jnp.sum(pp_z * actf, 1) / n_act[:, 0, :]
 
                 def pair_iter(_, carry):
-                    dvx, dvy, dvz, dwx, dwy, dwz = carry
+                    dvx, dvy, dvz, dwx, dwy, dwz, acc = carry
                     vAx0, vAy0, vAz0 = gAh(dvx), gAh(dvy), gAh(dvz)
                     wAx0, wAy0, wAz0 = gAh(dwx), gAh(dwy), gAh(dwz)
                     vBx0 = gBh(dvx) + vkBx
@@ -1285,6 +1309,7 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
                         vn = relx * pn2_x + rely * pn2_y + relz * pn2_z
                         k_n = keff(pn2_x, pn2_y, pn2_z)
                         jn = jnp.where(act_k & (vn < 0), -vn / jnp.maximum(k_n, 1e-9), 0.0) * RELAX
+                        pc_n = acc["pc_n"] + jn
                         st_ = apply_(st_, pn2_x * jn, pn2_y * jn, pn2_z * jn)
                         if with_friction:
                             vAx, vAy, vAz, wAx, wAy, wAz, vBx, vBy, vBz, wBx, wBy, wBz = st_
@@ -1295,19 +1320,24 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
                             vtz = relz - pn2_z * vn2
                             tdx, tdy, tdz, vt_mag = g.normalize3(vtx, vty, vtz)
                             k_t = keff(tdx, tdy, tdz)
+                            # accumulated-impulse Coulomb clamp (see
+                            # tri_centroid_pass)
                             jt = jnp.where(
                                 act_k,
-                                jnp.minimum(
-                                    vt_mag / jnp.maximum(k_t, 1e-9),
-                                    a_mu_p * jnp.maximum(jn, 0.0),
+                                jnp.clip(
+                                    vt_mag / jnp.maximum(k_t, 1e-9) * RELAX,
+                                    0.0,
+                                    jnp.maximum(a_mu_p * pc_n - acc["pc_t"], 0.0),
                                 ),
                                 0.0,
-                            ) * RELAX
+                            )
                             st_ = apply_(st_, -tdx * jt, -tdy * jt, -tdz * jt)
-                        return st_
+                        else:
+                            jt = 0.0
+                        return st_, dict(acc, pc_n=pc_n, pc_t=acc["pc_t"] + jt)
 
                     # centroid pre-pass (bulk of the normal impulse, central mass)
-                    st_ = solve_point(
+                    st_, acc = solve_point(
                         st_,
                         cen_x - cA_tx, cen_y - cA_ty, cen_z - cA_tz,
                         cen_x - cB_tx, cen_y - cB_ty, cen_z - cB_tz,
@@ -1336,6 +1366,7 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
                     )
                     vn = relx * nkx + rely * nky + relz * nkz
                     jn = jnp.where(pact & (vn < 0), -vn / jnp.maximum(k_pair, 1e-9), 0.0) * RELAX
+                    pp_n = acc["pp_n"] + jn
                     ix_, iy_, iz_ = nkx * jn, nky * jn, nkz * jn
                     # friction per point against the pre-impulse tangential motion
                     vtx = relx - nkx * vn
@@ -1356,11 +1387,17 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
                     )
                     fx_, fy_, fz_ = g.cross3(fx_, fy_, fz_, rBx, rBy, rBz)
                     k_t = k_t + fx_ * tdx + fy_ * tdy + fz_ * tdz
+                    # accumulated-impulse Coulomb clamp (see tri_centroid_pass)
                     jt = jnp.where(
                         pact,
-                        jnp.minimum(vt_mag / jnp.maximum(k_t, 1e-9), e4(a_mu_p) * jnp.maximum(jn, 0.0)),
+                        jnp.clip(
+                            vt_mag / jnp.maximum(k_t, 1e-9) * RELAX,
+                            0.0,
+                            jnp.maximum(e4(a_mu_p) * pp_n - acc["pp_t"], 0.0),
+                        ),
                         0.0,
-                    ) * RELAX
+                    )
+                    acc = dict(acc, pp_n=pp_n, pp_t=acc["pp_t"] + jt)
                     ix_, iy_, iz_ = ix_ - tdx * jt, iy_ - tdy * jt, iz_ - tdz * jt
                     # apply the summed point impulses to the pair-local state
                     sx_, sy_, sz_ = jnp.sum(ix_, 1), jnp.sum(iy_, 1), jnp.sum(iz_, 1)
@@ -1397,7 +1434,7 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
                     dwx = dwx + jnp.einsum("pb,pdb->db", wBx - wBx0, ohB)
                     dwy = dwy + jnp.einsum("pb,pdb->db", wBy - wBy0, ohB)
                     dwz = dwz + jnp.einsum("pb,pdb->db", wBz - wBz0, ohB)
-                    return dvx, dvy, dvz, dwx, dwy, dwz
+                    return dvx, dvy, dvz, dwx, dwy, dwz, acc
 
                 def all_iter(i_, vo):
                     vo = tri_iter(i_, vo)
@@ -1409,13 +1446,17 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
                 # chains, so XLA fuses across them instead of paying per-iteration
                 # launches. On CPU (the test backend) a rolled loop keeps the
                 # module small enough to compile in seconds.
-                _c = c
+                _c = c + (dict(
+                    _tri_acc0(),
+                    pc_n=jnp.zeros_like(cen_x), pc_t=jnp.zeros_like(cen_x),
+                    pp_n=jnp.zeros_like(pd0), pp_t=jnp.zeros_like(pd0),
+                ),)
                 if _unroll_loops():
                     for _i in range(SOLVER_ITERS):
                         _c = all_iter(_i, _c)
                 else:
                     _c = jax.lax.fori_loop(0, SOLVER_ITERS, all_iter, _c)
-                c = _c
+                c = _c[:6]
                 dvx, dvy, dvz, dwx, dwy, dwz = c
                 # positional correction, split by inverse mass. Averaged over the
                 # active manifold points (a 4-point face manifold is ONE contact
@@ -1446,9 +1487,23 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
             else:
                 outs = loop_tri_only(_c0)
             dvx, dvy, dvz, dwx, dwy, dwz, pushdx, pushdy, pushdz = outs
-            dpx = jnp.where(on, dpx + pushdx, dpx)
-            dpy = jnp.where(on, dpy + pushdy, dpy)
-            dpz = jnp.where(on, dpz + pushdz, dpz)
+            # position integration with the POST-solve velocities (see the
+            # symplectic-order note at the top of the substep), plus the
+            # Baumgarte penetration push
+            dpx = jnp.where(on, dpx + dvx * h + pushdx, dpx)
+            dpy = jnp.where(on, dpy + dvy * h + pushdy, dpy)
+            dpz = jnp.where(on, dpz + dvz * h + pushdz, dpz)
+            # quaternion integration: q += 0.5*h*(omega_quat * q)
+            nqx = dqx + 0.5 * h * (dwx * dqw + dwy * dqz - dwz * dqy)
+            nqy = dqy + 0.5 * h * (-dwx * dqz + dwy * dqw + dwz * dqx)
+            nqz = dqz + 0.5 * h * (dwx * dqy - dwy * dqx + dwz * dqw)
+            nqw = dqw + 0.5 * h * (-dwx * dqx - dwy * dqy - dwz * dqz)
+            qn = jnp.sqrt(nqx * nqx + nqy * nqy + nqz * nqz + nqw * nqw)
+            qn = jnp.maximum(qn, 1e-12)
+            dqx = jnp.where(on, nqx / qn, dqx)
+            dqy = jnp.where(on, nqy / qn, dqy)
+            dqz = jnp.where(on, nqz / qn, dqz)
+            dqw = jnp.where(on, nqw / qn, dqw)
 
             return (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz), None
 

@@ -258,7 +258,9 @@ RTILE_H, RTILE_W = 8, 128
 # Frames whose screen-door pixels touch more tiles OVERFLOW to a
 # full-frame pass-2 shade via lax.cond — taken for real only outside
 # vmap (render()) or hoisted to the batch level (render_batch()).
-REVEAL_TILE_FRAC = 4
+# Bench poses touch <= 2 of 64 tiles; 1/8 keeps 8 tiles of headroom at
+# 256^2 (orb B=32: 579 -> 556 ms/frame-batch vs 1/4).
+REVEAL_TILE_FRAC = 8
 
 
 def _tile_pack(a, order_c, nty, ntx):
@@ -598,8 +600,12 @@ def _render_env(bundle, cmap, state, height, width, fov_deg, backend,
     tclip = jnp.clip(tri["tex"], 0, None)
     t_meta = bundle.atlas.table[tclip]  # [T, 6]
     tex_wh = t_meta[:, 2:4]
-    rep_t = t_meta[:, 4] > 0.5
-    bil_t = t_meta[:, 5] > 0.5
+    # sampler flags via the PRE-PACKED int words: gathering the f32 table
+    # columns and comparing in-graph (t_meta[:, 4] > 0.5) miscompiles on
+    # XLA:TPU when fused with the z-pass scan — the repeat bit silently
+    # drops (see TextureAtlas.flag_words)
+    fw = bundle.atlas.flag_words[tclip]  # [T] i32: rep<<21 | bil<<22
+    bil_t = ((fw >> 22) & 1).astype(bool)
     du1 = (tri["uv"][:, 1] - tri["uv"][:, 0]) * tex_wh
     du2 = (tri["uv"][:, 2] - tri["uv"][:, 0]) * tex_wh
     texel_area = jnp.abs(du1[:, 0] * du2[:, 1] - du1[:, 1] * du2[:, 0])
@@ -669,8 +675,7 @@ def _render_env(bundle, cmap, state, height, width, fov_deg, backend,
         | (tri["kind"] << 12)
         | (tri["shaded"].astype(jnp.int32) << 14)
         | (lod_q << 15)
-        | (rep_t.astype(jnp.int32) << 21)
-        | (bil_t.astype(jnp.int32) << 22)
+        | fw
     )  # [T] (< 2^23: exact as f32 through the tile kernel)
 
     if backend == "pallas":
@@ -1071,12 +1076,13 @@ def shade(bundle, state, gx, gy, uv, lmuv, color, tex_id, kind, shaded, frag_dep
     )[0]
     discard = (fade < 0.001) | (fade < hash_)
 
-    # lightmap (map pipeline only)
+    # lightmap (map pipeline only); flat single-index gather — a 2-axis
+    # [ly, lx] gather lowers to XLA's generic (slower) gather path
     lw = bundle.lightmap.shape[1]
     lh = bundle.lightmap.shape[0]
     lx = jnp.clip((lmuv[..., 0] * lw).astype(jnp.int32), 0, lw - 1)
     ly = jnp.clip((lmuv[..., 1] * lh).astype(jnp.int32), 0, lh - 1)
-    lm = bundle.lightmap[ly, lx][..., :3]
+    lm = bundle.lightmap.reshape(lh * lw, -1)[ly * lw + lx][..., :3]
 
     light = env.light_color[:3]
     base = out[..., :3] * color[..., :3]

@@ -35,7 +35,7 @@ class TextureAtlas:
     # pre-wrapped/clamped per each texture's repeat mode at build time. A
     # bilinear tap is then ONE [H, W] gather instead of four (TPU gathers
     # are scalarized; fetch count is the whole cost of texturing).
-    blocked: jnp.ndarray  # [AH, AW, 16] f32
+    blocked: jnp.ndarray  # [AH, AW, 16] bf16 by default (build_atlas blocked_dtype)
     table: jnp.ndarray  # [T, 6] f32: x0, y0, w, h, repeat, filter
     mips: jnp.ndarray  # [T, MAX_MIPS, 4] f32: x0, y0, w, h per level
     n_mips: jnp.ndarray  # [T] f32 (1 = no chain)
@@ -47,6 +47,14 @@ class TextureAtlas:
     # callers that already know repeat/filter per pixel (the rasterizer
     # encodes them per triangle) save ~3 gathers per tap.
     mip_pairs: jnp.ndarray | None = None  # [T, MAX_MIPS, 8] f32
+    # per-texture sampler flags PRE-PACKED at the enc-word bit positions
+    # (repeat<<21 | filter<<22): the rasterizer ORs this straight into its
+    # per-triangle enc word. Packing on the host sidesteps an observed
+    # XLA:TPU miscompilation of the fused f32-gather -> compare -> bool ->
+    # shift chain (table[:, 4] > 0.5 ...) when the z-pass scan shares the
+    # graph: the repeat bit silently dropped, clamping every repeat-mode
+    # texture to its border (near-black frames on the TPU xla backend).
+    flag_words: jnp.ndarray | None = None  # [T] i32
     # DUAL-LEVEL rows: dual[y, x, 0:16] = blocked[y, x]; dual[y, x, 16:52]
     # = the NEXT mip level's 3x3 texel neighborhood (row-major (dy, dx),
     # 4 ch each) anchored at (x//2 - 1, y//2 - 1) in that level, wrapped/
@@ -76,14 +84,27 @@ def _downsample(px: np.ndarray) -> np.ndarray:
     return px
 
 
-def build_atlas(textures: list, dual: bool = False, dual_dtype=np.float32) -> TextureAtlas:
+def build_atlas(textures: list, dual: bool = False, dual_dtype=None,
+                blocked_dtype=jnp.bfloat16) -> TextureAtlas:
     """Shelf-pack decoded Texture objects (assets.codecs.Texture) and the
     mip chains of those with the mipmaps flag. dual=True additionally
     packs each texel's next-mip-level 3x3 neighborhood into the same row
     (TextureAtlas.dual) so trilinear sampling costs one gather — bit-exact
     with the two-tap path (tests/test_render.py), but measured 2x SLOWER
     on TPU v5e (52-channel gather rows cost more than two 16-channel
-    gathers; benchmarks notes in ROADMAP.md), so it is off by default."""
+    gathers; benchmarks notes in ROADMAP.md), so it is off by default.
+
+    blocked_dtype: storage dtype of the packed texel rows, bf16 by
+    default — it HALVES the atlas footprint (shapes/orb: 128 -> 64 MB),
+    which cuts the per-pixel gather cost of the biggest shade stage (orb
+    full frame 698 -> 579 ms/frame-batch at B=32; the gather is cache-
+    residency-bound, not row-width-bound). Texels are 8-bit sources, so
+    bf16's 8 mantissa bits cost <= 0.2% per channel — the same order as
+    GPU texture-filter precision (the reference's R8G8B8A8 mips). The
+    dual rows follow blocked_dtype unless dual_dtype overrides, keeping
+    the two paths bit-identical to each other."""
+    if dual_dtype is None:
+        dual_dtype = blocked_dtype
     if not textures:
         textures = []
     # per-texture mip pyramids (level 0 = the texture itself)
@@ -171,8 +192,13 @@ def build_atlas(textures: list, dual: bool = False, dual_dtype=np.float32) -> Te
     pairs = np.concatenate(
         [mips, np.concatenate([mips[:, 1:], mips[:, -1:]], axis=1)], axis=2
     )
+    flag_words = (
+        (table[:, 4] > 0.5).astype(np.int32) * (1 << 21)
+        + (table[:, 5] > 0.5).astype(np.int32) * (1 << 22)
+    )
     return TextureAtlas(
-        blocked=jnp.asarray(blocked),
+        blocked=jnp.asarray(blocked).astype(blocked_dtype),
+        flag_words=jnp.asarray(flag_words),
         table=jnp.asarray(table),
         mips=jnp.asarray(mips),
         n_mips=jnp.asarray(n_mips),
@@ -207,7 +233,7 @@ def _sample_level(atlas, rect, repeat, bilinear, uv):
     by = jnp.where(repeat, jnp.mod(iy0, jnp.maximum(h, 1)), iy0)
     xi = (x0 + bx).astype(jnp.int32)
     yi = (y0 + by).astype(jnp.int32)
-    blk = atlas.blocked[yi, xi]  # [..., 16]
+    blk = atlas.blocked[yi, xi].astype(jnp.float32)  # [..., 16]
     c00, c10, c01, c11 = blk[..., 0:4], blk[..., 4:8], blk[..., 8:12], blk[..., 12:16]
     lin = (
         c00 * ((1 - tx) * (1 - ty))[..., None]
@@ -325,17 +351,21 @@ def sample(atlas: TextureAtlas, tex_id, uv, lod=None, flags=None):
     gather — 3 per-pixel gathers per trilinear tap instead of 6. Results
     are bit-identical to the flagless path."""
     tid = jnp.clip(tex_id, 0, atlas.table.shape[0] - 1)
+    # per-pixel metadata rows index FLAT ([T*MAX_MIPS, 8]): a composite
+    # 2-axis gather [tid, l0] lowers to XLA's generic gather and measures
+    # ~2x the cost of a single-index row gather on these small tables
     if flags is not None:
         repeat, bilinear = flags
+        mp = atlas.mip_pairs.reshape(-1, 8)
         if lod is None:
-            rect = atlas.mip_pairs[tid, 0][..., :4]
+            rect = mp[tid * MAX_MIPS][..., :4]
             return _sample_level(atlas, rect, repeat, bilinear, uv)
         # lod is pre-clamped to [0, n_mips-1] and pre-rounded for
         # nearest-level textures; frac at the chain end is 0 because the
         # clamp lands exactly on an integer level
         l0 = jnp.floor(lod).astype(jnp.int32)
         frac = jnp.where(bilinear, lod - l0.astype(jnp.float32), 0.0)
-        pair = atlas.mip_pairs[tid, l0]  # [..., 8]
+        pair = mp[tid * MAX_MIPS + l0]  # [..., 8]
         c0 = _sample_level(atlas, pair[..., 0:4], repeat, bilinear, uv)
         c1 = _sample_level(atlas, pair[..., 4:8], repeat, bilinear, uv)
         return c0 + (c1 - c0) * frac[..., None]
@@ -351,8 +381,9 @@ def sample(atlas: TextureAtlas, tex_id, uv, lod=None, flags=None):
     l0 = jnp.floor(jnp.where(bilinear, lodc, jnp.round(lodc))).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, max_l.astype(jnp.int32))
     frac = jnp.where(bilinear, lodc - l0.astype(jnp.float32), 0.0)
-    r0 = atlas.mips[tid, l0]
-    r1 = atlas.mips[tid, l1]
+    mips_flat = atlas.mips.reshape(-1, 4)  # single-index row gathers (see above)
+    r0 = mips_flat[tid * MAX_MIPS + l0]
+    r1 = mips_flat[tid * MAX_MIPS + l1]
     if atlas.dual is not None:
         return _sample_dual(atlas, r0, r1, repeat, bilinear, uv, frac)
     c0 = _sample_level(atlas, r0, repeat, bilinear, uv)

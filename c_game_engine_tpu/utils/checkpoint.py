@@ -13,6 +13,30 @@ import numpy as np
 
 
 def save_checkpoint(path: str, state) -> None:
+    # Multi-process (jax.distributed) runs hold only addressable shards per
+    # process: gather the GLOBAL value of every leaf to the host, write once
+    # from process 0, and barrier so no process returns before the file is
+    # durable (docs/MULTIHOST.md; exercised by tests/test_multihost.py).
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        host_state = multihost_utils.process_allgather(state, tiled=True)
+        if jax.process_index() == 0:
+            # the pickle container, not orbax: PyTreeCheckpointer runs its
+            # own every-process barrier protocol, which deadlocks/mismatches
+            # when only process 0 writes the (already fully gathered) tree
+            import pickle
+
+            flat, treedef = jax.tree.flatten(host_state)
+            Path(path).parent.mkdir(parents=True, exist_ok=True)
+            with open(path, "wb") as f:
+                pickle.dump(([np.asarray(x) for x in flat], treedef), f)
+        multihost_utils.sync_global_devices(f"cge_ckpt_save:{path}")
+        return
+    _save_host(path, jax.tree.map(np.asarray, state))
+
+
+def _save_host(path: str, state) -> None:
     # pickle is used only when orbax is absent from the environment
     # (ImportError); real save failures propagate so a partial orbax write
     # is never silently shadowed by a second on-disk format.
