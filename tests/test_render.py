@@ -233,3 +233,58 @@ def test_viewmodel_item_dispatch(test_map):
     assert eraser.sum() > 0.0, "eraser viewmodel should draw"
     np.testing.assert_array_equal(stopper, np.asarray(base))
     np.testing.assert_array_equal(none, np.asarray(base))
+
+
+def test_render_batch_matches_per_env(test_map):
+    """render_batch (the benchmark/rollout entry with the hoisted reveal
+    fallback) must be bitwise the per-env render at a tile-aligned size."""
+    from c_game_engine_tpu.models.sim import reset_batch
+    from c_game_engine_tpu.render.bundle import build_render_bundle
+    from c_game_engine_tpu.render.raster import render, render_batch
+
+    cm = test_map
+    rb = build_render_bundle(cm)
+    states = reset_batch(cm, 2)
+    batch = np.asarray(render_batch(rb, cm, states, 256, 256))
+    for e in range(2):
+        env = jax.tree.map(lambda x, _e=e: x[_e], states)
+        one = np.asarray(render(rb, cm, env, 256, 256))
+        np.testing.assert_array_equal(batch[e], one)
+
+
+def test_reveal_compaction_matches_full_fallback(test_map):
+    """The tile-compacted pass-2 shade must equal the full-frame fallback
+    path on frames within the tile budget — this pins the cumsum/scatter
+    pack+unpack machinery against the straightforward implementation the
+    overflow lax.cond falls back to."""
+    from c_game_engine_tpu.core.state import reset
+    from c_game_engine_tpu.render import raster as R
+    from c_game_engine_tpu.render.bundle import build_render_bundle
+
+    cm = test_map
+    rb = build_render_bundle(cm)
+    assert rb.has_alpha  # the reveal pass must actually engage
+    st = reset(cm)
+    rgb_cmp, overflow, ctx = jax.jit(
+        lambda s: R._render_env(rb, cm, s, 256, 256, 90.0, None, True, 0,
+                                False, True)
+    )(st)
+    assert ctx is not None
+    assert not bool(overflow)
+    full = jax.jit(
+        lambda c, s: R._finish_reveal_full(rb, c, s, 256, 256, True, 0, "xla")
+    )(ctx, st)
+    np.testing.assert_array_equal(np.asarray(rgb_cmp), np.asarray(full))
+
+
+def test_atlas_flag_words_match_table():
+    """flag_words is the host-packed int mirror of the table's f32
+    repeat/filter columns (the in-graph f32-compare chain miscompiles on
+    XLA:TPU when fused with the z-pass scan; see TextureAtlas)."""
+    px = np.random.default_rng(0).random((8, 8, 4)).astype(np.float32)
+    texs = [_Tex(px, repeat=r, filter=f) for r in (False, True) for f in (False, True)]
+    atlas = build_atlas(texs)
+    t = np.asarray(atlas.table)
+    fw = np.asarray(atlas.flag_words)
+    np.testing.assert_array_equal((fw >> 21) & 1, (t[:, 4] > 0.5).astype(np.int64))
+    np.testing.assert_array_equal((fw >> 22) & 1, (t[:, 5] > 0.5).astype(np.int64))
