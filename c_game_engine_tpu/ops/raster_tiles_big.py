@@ -62,7 +62,7 @@ from jax.experimental.pallas import tpu as pltpu
 from c_game_engine_tpu.ops.raster_tiles import TILE_H, TILE_W, _grids
 
 T_CHK = 4096  # grid-step overhead is ~0.6 us/step: bigger chunks, fewer steps
-SUB = 64
+SUB = int(__import__("os").environ.get("CGE_BIG_SUB", "64"))
 N_COLS_BIG = 16
 
 
