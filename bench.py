@@ -11,7 +11,7 @@ import time
 
 import jax
 
-from c_game_engine_tpu.compiler.compile import compile_map
+from c_game_engine_tpu.compiler.cache import load_compiled
 from c_game_engine_tpu.core.actions import Actions
 from c_game_engine_tpu.models.sim import reset_batch, rollout
 
@@ -19,7 +19,7 @@ from c_game_engine_tpu.models.sim import reset_batch, rollout
 def main():
     batch = int(__import__("os").environ.get("BENCH_BATCH", "4096"))
     n_ticks = int(__import__("os").environ.get("BENCH_TICKS", "240"))
-    cmap = compile_map("/root/reference/assets/game/map/test.gmap")
+    cmap, _ = load_compiled("/root/reference/assets/game/map/test.gmap", with_bundle=False)
     state = reset_batch(cmap, batch)
     # scripted action stream: hold W + slight turn so the whole pipeline
     # (movement, raycasts, contacts) does real work

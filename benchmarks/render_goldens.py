@@ -1,12 +1,27 @@
 """Regenerate golden frames for tests/test_goldens.py.
 
-Two golden sets:
+Three golden sets:
   cpu128/  3 maps at 128x128, rendered on the CPU backend — compared
            per-pixel in regular (CPU) CI, so any shading change bites.
-  tpu256/  all 9 maps at 256x256 (the BASELINE.json target resolution),
-           rendered on a real TPU chip — checked by the TPU-only test.
+  cpu256/  all 9 maps at 256x256 (the BASELINE.json target resolution),
+           rendered on the CPU backend — the cross-backend SOURCE OF
+           TRUTH: the on-chip suite re-renders every map on the TPU and
+           compares against these within a perceptual tolerance, so a
+           TPU-only miscompile that blanks or distorts geometry fails
+           even though no TPU golden exists for it (VERDICT r4 weak #1:
+           the old self-regenerated tpu256 set could not notice that
+           shapes/music rendered as pure sky for three rounds).
+  tpu256/  all 9 maps at 256x256 on a real TPU chip — bitwise
+           determinism evidence for the production backend (regenerated
+           and compared in the same on-chip run; content correctness is
+           the cpu256 cross-check's job).
 
-Usage: python benchmarks/render_goldens.py [cpu|tpu]
+Every stats.json row carries `nonsky`: the fraction of pixels farther
+than 12/255 (L1 over RGB) from the frame's top-left pixel. A frame that
+collapses to flat sky scores ~0 regardless of which color it collapsed
+to, so the committed band catches empty-render regressions per map.
+
+Usage: python benchmarks/render_goldens.py [cpu|cpu256|tpu]
 """
 
 from __future__ import annotations
@@ -23,7 +38,7 @@ GOLDENS = Path(__file__).resolve().parent.parent / "tests" / "goldens"
 GMAPS = "/root/reference/assets/game/map"
 
 CPU_MAPS = ["test", "advanced_doors", "shapes"]
-TPU_MAPS = [
+ALL_MAPS = [
     "test",
     "shapes",
     "advanced_doors",
@@ -37,19 +52,24 @@ TPU_MAPS = [
 WARMUP_TICKS = 30
 
 
+def nonsky_fraction(u8) -> float:
+    import numpy as np
+
+    ref = u8[0, 0].astype(np.int32)
+    return float((np.abs(u8.astype(np.int32) - ref).sum(-1) > 12).mean())
+
+
 def render_map(name: str, size: int):
     import jax
     import numpy as np
 
-    from c_game_engine_tpu.compiler.compile import compile_map
+    from c_game_engine_tpu.compiler.cache import load_compiled
     from c_game_engine_tpu.core.actions import Actions
     from c_game_engine_tpu.core.state import reset
     from c_game_engine_tpu.core.step import step
-    from c_game_engine_tpu.render.bundle import build_render_bundle
     from c_game_engine_tpu.render.raster import render_with_hud
 
-    cm = compile_map(f"{GMAPS}/{name}.gmap")
-    rb = build_render_bundle(cm)
+    cm, rb = load_compiled(f"{GMAPS}/{name}.gmap")
     st = reset(cm)
     sfn = jax.jit(lambda s, a, _cm=cm: step(_cm, s, a))
     for _ in range(WARMUP_TICKS):
@@ -60,17 +80,20 @@ def render_map(name: str, size: int):
 
 def main():
     backend = sys.argv[1] if len(sys.argv) > 1 else "cpu"
-    if backend == "cpu":
+    if backend in ("cpu", "cpu256"):
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        maps, size, sub = CPU_MAPS, 128, "cpu128"
+        if backend == "cpu":
+            maps, size, sub = CPU_MAPS, 128, "cpu128"
+        else:
+            maps, size, sub = ALL_MAPS, 256, "cpu256"
     else:
         import jax
 
         assert jax.default_backend() == "tpu", jax.default_backend()
-        maps, size, sub = TPU_MAPS, 256, "tpu256"
+        maps, size, sub = ALL_MAPS, 256, "tpu256"
 
     from PIL import Image
 
@@ -83,8 +106,9 @@ def main():
         stats[name] = {
             "mean": round(float(u8.mean() / 255.0), 4),
             "sha": hashlib.sha1(u8.tobytes()).hexdigest()[:16],
+            "nonsky": round(nonsky_fraction(u8), 4),
         }
-        print(f"{sub}/{name}.png mean={stats[name]['mean']} sha={stats[name]['sha']}")
+        print(f"{sub}/{name}.png", json.dumps(stats[name]))
     (outdir / "stats.json").write_text(json.dumps(stats, indent=1))
 
 

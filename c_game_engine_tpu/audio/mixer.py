@@ -21,6 +21,7 @@ constant-power stereo panning from the listener-space azimuth.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -101,7 +102,12 @@ def alloc_channels(audio: AudioState, mask, sound, volume, category, loops,
         category=jnp.where(taken, pick_i(category), audio.category),
         positional=jnp.where(taken, jnp.sum(match * positional[:, None], axis=0) > 0,
                              audio.positional),
-        pos=jnp.where(taken[:, None], mt.T @ pos.astype(jnp.float32), audio.pos),
+        pos=jnp.where(
+            taken[:, None],
+            jnp.matmul(mt.T, pos.astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST),
+            audio.pos,
+        ),
         paused=jnp.where(taken, False, audio.paused),
     )
     return audio, handle

@@ -74,6 +74,12 @@ def make_shader(point_lights, occluder_tris, bounces: int = 0, albedo: float = A
     import jax
     import jax.numpy as jnp
 
+    # full-f32 contractions: under the axon TPU backend default-precision
+    # einsums take bf16 inputs and would corrupt the ray-hit solves
+    # (PARITY.md #19)
+    def _einsum32(*args, **kw):
+        return _einsum32(*args, precision=jax.lax.Precision.HIGHEST, **kw)
+
     tri_a = jnp.asarray(occluder_tris[:, 0])
     tri_e1 = jnp.asarray(occluder_tris[:, 1] - occluder_tris[:, 0])
     tri_e2 = jnp.asarray(occluder_tris[:, 2] - occluder_tris[:, 0])
@@ -107,14 +113,14 @@ def make_shader(point_lights, occluder_tris, bounces: int = 0, albedo: float = A
             # shadow ray pts -> lp (Moller-Trumbore vs all occluders)
             d = delta  # [B,3]
             h = jnp.cross(d[:, None, :], tri_e2[None])
-            det = jnp.einsum("tj,btj->bt", tri_e1, h)
+            det = _einsum32("tj,btj->bt", tri_e1, h)
             ok = jnp.abs(det) > 1e-9
             inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
             s = pts[:, None, :] - tri_a[None]
-            u = jnp.einsum("btj,btj->bt", s, h) * inv
+            u = _einsum32("btj,btj->bt", s, h) * inv
             qv = jnp.cross(s, tri_e1[None])
-            v = jnp.einsum("bj,btj->bt", d, qv) * inv
-            t = jnp.einsum("tj,btj->bt", tri_e2, qv) * inv
+            v = _einsum32("bj,btj->bt", d, qv) * inv
+            t = _einsum32("tj,btj->bt", tri_e2, qv) * inv
             hit = ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 1e-4) & (t < 1.0 - 1e-4)
             visible = ~jnp.any(hit, axis=1)
             w = jnp.where(visible, brightness * falloff, 0.0)
@@ -127,14 +133,14 @@ def make_shader(point_lights, occluder_tris, bounces: int = 0, albedo: float = A
         """origins/dirs [R,3] -> (hit mask [R], point [R,3], normal [R,3],
         oriented toward the ray origin)."""
         h = jnp.cross(dirs[:, None, :], tri_e2[None])
-        det = jnp.einsum("tj,rtj->rt", tri_e1, h)
+        det = _einsum32("tj,rtj->rt", tri_e1, h)
         ok = jnp.abs(det) > 1e-9
         inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
         s = origins[:, None, :] - tri_a[None]
-        u = jnp.einsum("rtj,rtj->rt", s, h) * inv
+        u = _einsum32("rtj,rtj->rt", s, h) * inv
         qv = jnp.cross(s, tri_e1[None])
-        v = jnp.einsum("rj,rtj->rt", dirs, qv) * inv
-        t = jnp.einsum("tj,rtj->rt", tri_e2, qv) * inv
+        v = _einsum32("rj,rtj->rt", dirs, qv) * inv
+        t = _einsum32("tj,rtj->rt", tri_e2, qv) * inv
         good = ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 1e-3)
         t = jnp.where(good, t, jnp.inf)
         best = jnp.argmin(t, axis=1)

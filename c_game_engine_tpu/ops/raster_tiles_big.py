@@ -62,7 +62,14 @@ from jax.experimental.pallas import tpu as pltpu
 from c_game_engine_tpu.ops.raster_tiles import TILE_H, TILE_W, _grids
 
 T_CHK = 4096  # grid-step overhead is ~0.6 us/step: bigger chunks, fewer steps
+# Subchunk size for the bbox-prune hierarchy. CGE_BIG_SUB exists for
+# profiling sweeps (benchmarks/profile_big.py); invalid values fail HERE,
+# at import, not as a Mosaic shape error deep in a later launch.
 SUB = int(__import__("os").environ.get("CGE_BIG_SUB", "64"))
+if SUB <= 0 or (SUB & (SUB - 1)) or T_CHK % SUB:
+    raise ValueError(
+        f"CGE_BIG_SUB={SUB}: must be a power of two dividing T_CHK={T_CHK}"
+    )
 N_COLS_BIG = 16
 
 

@@ -34,6 +34,14 @@ from c_game_engine_tpu.physics.character import (
     STICK_DOWN,
 )
 
+# Small geometric contractions only (contact-basis projections, 4x4
+# transforms) — never MXU-scale GEMMs. Explicit full-f32 precision: TPU
+# matmuls default to bf16 INPUTS, which silently degrades these (the same
+# class of loss that culled whole maps in the renderer, PARITY.md #19).
+def _einsum32(*args, **kw):
+    return jnp.einsum(*args, precision=jax.lax.Precision.HIGHEST, **kw)
+
+
 def _unroll_loops() -> bool:
     """Unroll solver/substep loops on TPU (cross-iteration fusion); rolled
     lax loops elsewhere keep XLA:CPU compile times sane for the test
@@ -616,7 +624,7 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
     # live when either side is awake; kinematic movers and the player wake
     # sleeping bodies through wake_pair/wake_player first, which flips this
     # gate the following tick.
-    awake_nb = jnp.einsum("db,dn->nb", awake.astype(jnp.float32), d2n) > 0.5  # [N, B]
+    awake_nb = _einsum32("db,dn->nb", awake.astype(jnp.float32), d2n) > 0.5  # [N, B]
     pair_any = jnp.any(pair_bp & (awake[:, None, :] | awake_nb[None, :, :]))
 
 
@@ -1200,8 +1208,8 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
                 # pair->dyn-lane routing as one-hot MXU contractions.
                 ccx2, ccy2, ccz2 = g.quat_rotate_soa(dqx, dqy, dqz, dqw, dcx, dcy, dcz)
                 ccx2, ccy2, ccz2 = ccx2 + dpx, ccy2 + dpy, ccz2 + dpz
-                gAh = lambda a: jnp.einsum("db,pdb->pb", a, ohA)
-                gBh = lambda a: jnp.einsum("db,pdb->pb", a, ohB)
+                gAh = lambda a: _einsum32("db,pdb->pb", a, ohA)
+                gBh = lambda a: _einsum32("db,pdb->pb", a, ohB)
                 cA_tx, cA_ty, cA_tz = gAh(ccx2), gAh(ccy2), gAh(ccz2)
                 nb_f = 1.0 - b_dynf
                 cB_tx = gBh(ccx2) + pB_cx * nb_f
@@ -1422,18 +1430,18 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
                     st_ = [vAx, vAy, vAz, wAx, wAy, wAz, vBx, vBy, vBz, wBx, wBy, wBz]
 
                     vAx, vAy, vAz, wAx, wAy, wAz, vBx, vBy, vBz, wBx, wBy, wBz = st_
-                    dvx = dvx + jnp.einsum("pb,pdb->db", vAx - vAx0, ohA)
-                    dvy = dvy + jnp.einsum("pb,pdb->db", vAy - vAy0, ohA)
-                    dvz = dvz + jnp.einsum("pb,pdb->db", vAz - vAz0, ohA)
-                    dwx = dwx + jnp.einsum("pb,pdb->db", wAx - wAx0, ohA)
-                    dwy = dwy + jnp.einsum("pb,pdb->db", wAy - wAy0, ohA)
-                    dwz = dwz + jnp.einsum("pb,pdb->db", wAz - wAz0, ohA)
-                    dvx = dvx + jnp.einsum("pb,pdb->db", vBx - vBx0, ohB)
-                    dvy = dvy + jnp.einsum("pb,pdb->db", vBy - vBy0, ohB)
-                    dvz = dvz + jnp.einsum("pb,pdb->db", vBz - vBz0, ohB)
-                    dwx = dwx + jnp.einsum("pb,pdb->db", wBx - wBx0, ohB)
-                    dwy = dwy + jnp.einsum("pb,pdb->db", wBy - wBy0, ohB)
-                    dwz = dwz + jnp.einsum("pb,pdb->db", wBz - wBz0, ohB)
+                    dvx = dvx + _einsum32("pb,pdb->db", vAx - vAx0, ohA)
+                    dvy = dvy + _einsum32("pb,pdb->db", vAy - vAy0, ohA)
+                    dvz = dvz + _einsum32("pb,pdb->db", vAz - vAz0, ohA)
+                    dwx = dwx + _einsum32("pb,pdb->db", wAx - wAx0, ohA)
+                    dwy = dwy + _einsum32("pb,pdb->db", wAy - wAy0, ohA)
+                    dwz = dwz + _einsum32("pb,pdb->db", wAz - wAz0, ohA)
+                    dvx = dvx + _einsum32("pb,pdb->db", vBx - vBx0, ohB)
+                    dvy = dvy + _einsum32("pb,pdb->db", vBy - vBy0, ohB)
+                    dvz = dvz + _einsum32("pb,pdb->db", vBz - vBz0, ohB)
+                    dwx = dwx + _einsum32("pb,pdb->db", wBx - wBx0, ohB)
+                    dwy = dwy + _einsum32("pb,pdb->db", wBy - wBy0, ohB)
+                    dwz = dwz + _einsum32("pb,pdb->db", wBz - wBz0, ohB)
                     return dvx, dvy, dvz, dwx, dwy, dwz, acc
 
                 def all_iter(i_, vo):
@@ -1470,13 +1478,13 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
                 puz = jnp.sum(nkz * over_p, 1) / n_act[:, 0, :]
                 shareA = a_invm / wsum_p
                 shareB = b_invm / wsum_p
-                pushdx = jnp.einsum("pb,pdb->db", pux * shareA, ohA) - jnp.einsum(
+                pushdx = _einsum32("pb,pdb->db", pux * shareA, ohA) - _einsum32(
                     "pb,pdb->db", pux * shareB, ohB
                 )
-                pushdy = jnp.einsum("pb,pdb->db", puy * shareA, ohA) - jnp.einsum(
+                pushdy = _einsum32("pb,pdb->db", puy * shareA, ohA) - _einsum32(
                     "pb,pdb->db", puy * shareB, ohB
                 )
-                pushdz = jnp.einsum("pb,pdb->db", puz * shareA, ohA) - jnp.einsum(
+                pushdz = _einsum32("pb,pdb->db", puz * shareA, ohA) - _einsum32(
                     "pb,pdb->db", puz * shareB, ohB
                 )
                 return c + (pushdx, pushdy, pushdz)
@@ -1533,19 +1541,19 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
     # write dynamic lanes back ([D, B] -> [B, N, .]) via the static one-hot
     # d2n contraction over D (dyn_slots is compile-time; batched scatters
     # compile to standalone unfused kernels on TPU — memory playbook)
-    expand = lambda comps: jnp.einsum(
+    expand = lambda comps: _einsum32(
         "cdb,dn->bnc", jnp.stack(comps), d2n, precision="float32"
     )
     dpos_new = expand([dpx, dpy, dpz])  # [B, N, 3]
     dquat_new = expand([dqx, dqy, dqz, dqw])
     dvel_new = expand([dvx, dvy, dvz])
     domega_new = expand([dwx, dwy, dwz])
-    live = jnp.einsum("db,dn->bn", d_on_t.astype(jnp.float32), d2n) > 0.5  # [B, N]
+    live = _einsum32("db,dn->bn", d_on_t.astype(jnp.float32), d2n) > 0.5  # [B, N]
     m3 = live[..., None]
     pos = jnp.where(m3, dpos_new, k_pos)
     quat = jnp.where(m3, dquat_new, actors.quat)
     vel = jnp.where(m3, dvel_new, actors.vel)
     omega = jnp.where(m3, domega_new, actors.omega)
-    sleep_n = jnp.einsum("db,dn->bn", sleep_new.astype(jnp.float32), d2n).astype(jnp.int32)
+    sleep_n = _einsum32("db,dn->bn", sleep_new.astype(jnp.float32), d2n).astype(jnp.int32)
     sleep = jnp.where(live, sleep_n, actors.sleep)
     return pos, quat, vel, omega, sleep

@@ -70,7 +70,12 @@ def camera_matrix(cmap, state, width, height, fov_deg=90.0):
     persp = perspective_lh_zo(jnp.deg2rad(fov_deg), width / height, 0.01, 2000.0)
     flip = quat_from_axis_angle(jnp.array([1.0, 0.0, 0.0]), jnp.pi)
     view = quat_look(cam_pos, quat_mul(cam_rot, flip))
-    return persp @ view, cam_pos
+    # full-f32 product: TPU's default bf16 matmul inputs round the z-row
+    # constants (far/(far-near) = 1.000005, -far*near/(far-near) = -0.01)
+    # to 1.0/-0.0100, collapsing NDC depth of distant geometry to exactly
+    # 1.0 — which the z < 1 raster gate then culls, rendering whole maps
+    # as pure sky on TPU while CPU (always f32) draws them (PARITY.md #19)
+    return jnp.matmul(persp, view, precision=jax.lax.Precision.HIGHEST), cam_pos
 
 
 def gather_triangles(bundle, cmap, state, camera_pos_hint=None):
@@ -249,11 +254,11 @@ def _resolve_backend(backend, height, width, bundle=None):
     return backend
 
 
-# Framebuffer tile for the reveal-pass shade compaction. Must equal
-# ops/raster_tiles.py TILE_H/TILE_W so kernel tile-gating and the packed
-# shade agree; (8, 128) is the native TPU layout tile, so packing is a
-# pure sublane-block permutation (no lane shuffles).
-RTILE_H, RTILE_W = 8, 128
+# Framebuffer tile for the reveal-pass shade compaction. Aliased from the
+# kernel's tile shape so kernel tile-gating and the packed shade can never
+# disagree; (8, 128) is the native TPU layout tile, so packing is a pure
+# sublane-block permutation (no lane shuffles).
+from c_game_engine_tpu.ops.raster_tiles import TILE_H as RTILE_H, TILE_W as RTILE_W
 # Compacted pass-2 shade budget = num_tiles // REVEAL_TILE_FRAC tiles.
 # Frames whose screen-door pixels touch more tiles OVERFLOW to a
 # full-frame pass-2 shade via lax.cond — taken for real only outside
@@ -500,7 +505,8 @@ def _render_env(bundle, cmap, state, height, width, fov_deg, backend,
 
     # ---- vertex transform (full soup) ----
     pos_h = jnp.concatenate([tri["pos"], jnp.ones((*tri["pos"].shape[:2], 1))], -1)
-    clip = jnp.einsum("ij,tvj->tvi", vp, pos_h)  # [T,3,4]
+    clip = jnp.einsum("ij,tvj->tvi", vp, pos_h,
+                      precision=jax.lax.Precision.HIGHEST)  # [T,3,4]
 
     # ---- pre-clip cull + compaction (stable order) ----
     # Conservative keep mask evaluated BEFORE the expensive near-plane
@@ -604,7 +610,16 @@ def _render_env(bundle, cmap, state, height, width, fov_deg, backend,
     # columns and comparing in-graph (t_meta[:, 4] > 0.5) miscompiles on
     # XLA:TPU when fused with the z-pass scan — the repeat bit silently
     # drops (see TextureAtlas.flag_words)
-    fw = bundle.atlas.flag_words[tclip]  # [T] i32: rep<<21 | bil<<22
+    fw_tab = bundle.atlas.flag_words
+    if fw_tab is None:
+        # hand-built atlas (tests/older pickles): derive the words from
+        # the f32 table. This is the very chain the TPU miscompile hits,
+        # so it is a CPU-path convenience only — build_atlas always packs.
+        tab = bundle.atlas.table
+        fw_tab = (tab[:, 4] > 0.5).astype(jnp.int32) * (1 << 21) + (
+            tab[:, 5] > 0.5
+        ).astype(jnp.int32) * (1 << 22)
+    fw = fw_tab[tclip]  # [T] i32: rep<<21 | bil<<22
     bil_t = ((fw >> 22) & 1).astype(bool)
     du1 = (tri["uv"][:, 1] - tri["uv"][:, 0]) * tex_wh
     du2 = (tri["uv"][:, 2] - tri["uv"][:, 0]) * tex_wh
@@ -1124,10 +1139,12 @@ def render_viewmodel(bundle, state, frame):
     offset = jnp.stack(
         [jnp.float32(0.5), -(state.player.view_bob * 0.2 - 0.35), jnp.float32(0.0)]
     )
-    world = jnp.einsum("ij,tvj->tvi", rot, bundle.vm_pos) + offset
+    world = jnp.einsum("ij,tvj->tvi", rot, bundle.vm_pos,
+                       precision=jax.lax.Precision.HIGHEST) + offset
     persp = perspective_lh_zo(jnp.deg2rad(70.0), w / h, 0.01, 4.0)
     pos_h = jnp.concatenate([world * jnp.array([1.0, -1.0, 1.0]), jnp.ones((tv, 3, 1))], -1)
-    clip = jnp.einsum("ij,tvj->tvi", persp, pos_h)
+    clip = jnp.einsum("ij,tvj->tvi", persp, pos_h,
+                      precision=jax.lax.Precision.HIGHEST)
     wc = clip[..., 3]
     ok = jnp.all(wc > 1e-4, -1)
     inv_w = 1.0 / jnp.where(jnp.abs(wc) > 1e-9, wc, 1e-9)

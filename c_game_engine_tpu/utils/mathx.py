@@ -178,7 +178,9 @@ def quat_look(position, q):
     rot = quat_to_mat3(quat_conj(quat_normalize(q)))
     m = jnp.eye(4, dtype=jnp.float32)
     m = m.at[:3, :3].set(rot)
-    m = m.at[:3, 3].set(-rot @ position)
+    # elementwise mul+sum, NOT `rot @ position`: TPU matmuls default to
+    # bf16 inputs, which corrupts the view translation (PARITY.md #19)
+    m = m.at[:3, 3].set(-(rot * position[None, :]).sum(-1))
     return m
 
 

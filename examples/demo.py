@@ -19,11 +19,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from c_game_engine_tpu.compiler.compile import compile_map
+from c_game_engine_tpu.compiler.cache import load_compiled
 from c_game_engine_tpu.core.actions import Actions
 from c_game_engine_tpu.core.state import reset
 from c_game_engine_tpu.core.step import step
-from c_game_engine_tpu.render.bundle import build_render_bundle
 from c_game_engine_tpu.render.raster import render_with_hud
 
 
@@ -67,8 +66,7 @@ def main() -> None:
     n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     total_ticks = 150
 
-    cm = compile_map(f"/root/reference/assets/game/map/{name}.gmap")
-    rb = build_render_bundle(cm)
+    cm, rb = load_compiled(f"/root/reference/assets/game/map/{name}.gmap")
     st = reset(cm)
 
     from c_game_engine_tpu.audio.bank import SAMPLES_PER_TICK, build_map_sound_bank

@@ -40,7 +40,7 @@ else:
 import jax.numpy as jnp
 import numpy as np
 
-from c_game_engine_tpu.compiler.compile import compile_map
+from c_game_engine_tpu.compiler.cache import load_compiled
 from c_game_engine_tpu.core.actions import Actions
 from c_game_engine_tpu.models.sim import step_batch
 from c_game_engine_tpu.parallel.mesh import make_mesh, shard_sim
@@ -55,7 +55,7 @@ def main():
 
     mesh = make_mesh()
     print(f"mesh: {mesh.devices.size} device(s) ({jax.default_backend()})")
-    cmap = compile_map(f"/root/reference/assets/game/map/{name}.gmap")
+    cmap, _ = load_compiled(f"/root/reference/assets/game/map/{name}.gmap", with_bundle=False)
     cmap_sh, state, _ = shard_sim(cmap, batch, mesh)
 
     # per-env distinct action stream (walk + turn, phase by env index)

@@ -22,9 +22,10 @@ REF_MAPS = "/root/reference/assets/game/map"
 
 @pytest.fixture(scope="session")
 def test_map():
-    from c_game_engine_tpu.compiler.compile import compile_map
+    from c_game_engine_tpu.compiler.cache import load_compiled
 
-    return compile_map(f"{REF_MAPS}/test.gmap")
+    cm, _ = load_compiled(f"{REF_MAPS}/test.gmap", with_bundle=False)
+    return cm
 
 
 @pytest.fixture(scope="session")

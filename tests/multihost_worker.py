@@ -35,7 +35,7 @@ import numpy as np
 from jax.experimental import multihost_utils
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from c_game_engine_tpu.compiler.compile import compile_map
+from c_game_engine_tpu.compiler.cache import load_compiled
 from c_game_engine_tpu.core.actions import Actions
 from c_game_engine_tpu.parallel.mesh import make_mesh, shard_sim
 from c_game_engine_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
@@ -48,7 +48,9 @@ assert jax.process_count() == 2, jax.process_count()
 assert len(jax.devices()) == 8, jax.devices()
 assert len(jax.local_devices()) == 4
 
-cmap = compile_map("/root/reference/assets/game/map/button.gmap")
+cmap, _ = load_compiled(
+    "/root/reference/assets/game/map/button.gmap", with_bundle=False
+)
 mesh = make_mesh()
 cmap_sh, state, step_fn = shard_sim(cmap, BATCH, mesh)
 

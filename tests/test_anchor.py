@@ -24,7 +24,7 @@ def _scene(name, size):
     cam_pos, env, bundle)."""
     import jax.numpy as jnp
 
-    from c_game_engine_tpu.compiler.compile import compile_map
+    from c_game_engine_tpu.compiler.cache import load_compiled
     from c_game_engine_tpu.core.actions import Actions
     from c_game_engine_tpu.core.state import reset
     from c_game_engine_tpu.core.step import step
@@ -36,7 +36,9 @@ def _scene(name, size):
         render,
     )
 
-    cm = compile_map(f"/root/reference/assets/game/map/{name}.gmap")
+    cm, _ = load_compiled(
+        f"/root/reference/assets/game/map/{name}.gmap", with_bundle=False
+    )
     rb = build_render_bundle(cm)
     st = reset(cm)
     sfn = jax.jit(lambda s, a: step(cm, s, a))

@@ -37,10 +37,12 @@ def test_support_cloud_matches_numpy_oracle():
     """_support_toward's vert-cloud max equals the numpy support of the
     compiled cloud along random directions (and the closed-form box
     support for snapped-box rows)."""
-    from c_game_engine_tpu.compiler.compile import compile_map
+    from c_game_engine_tpu.compiler.cache import load_compiled
     from c_game_engine_tpu.physics.batched import _support_toward
 
-    cmap = compile_map("/root/reference/assets/game/map/shapes.gmap")
+    cmap, _ = load_compiled(
+        "/root/reference/assets/game/map/shapes.gmap", with_bundle=False
+    )
     hv = np.asarray(cmap.hull_verts)
     sl = np.asarray(cmap.dyn_slots)
     rows = sl[sl >= 0]

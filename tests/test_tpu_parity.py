@@ -18,7 +18,7 @@ pytestmark = pytest.mark.skipif(
 
 
 def _rollout(force_xla: bool, ticks=60, batch=256):
-    from c_game_engine_tpu.compiler.compile import compile_map
+    from c_game_engine_tpu.compiler.cache import load_compiled
     from c_game_engine_tpu.core.actions import Actions
     from c_game_engine_tpu.models.sim import reset_batch, step_batch
 
@@ -27,7 +27,9 @@ def _rollout(force_xla: bool, ticks=60, batch=256):
     else:
         os.environ.pop("CGE_FORCE_XLA", None)
     try:
-        cmap = compile_map("/root/reference/assets/game/map/test.gmap")
+        cmap, _ = load_compiled(
+            "/root/reference/assets/game/map/test.gmap", with_bundle=False
+        )
         state = reset_batch(cmap, batch)
         i = jnp.arange(batch, dtype=jnp.float32)
         acts = Actions.zeros((batch,)).replace(
@@ -66,15 +68,13 @@ def test_pallas_raster_matches_xla_on_chip():
     """Compiled tile-raster kernel vs the XLA pass 1 at the production
     256x256 resolution. Winner ids may differ only on exact z ties, so the
     comparison is per-pixel with a tiny allowed-differing fraction."""
-    from c_game_engine_tpu.compiler.compile import compile_map
+    from c_game_engine_tpu.compiler.cache import load_compiled
     from c_game_engine_tpu.core.actions import Actions
     from c_game_engine_tpu.core.state import reset
     from c_game_engine_tpu.core.step import step
-    from c_game_engine_tpu.render.bundle import build_render_bundle
     from c_game_engine_tpu.render.raster import render
 
-    cm = compile_map("/root/reference/assets/game/map/test.gmap")
-    rb = build_render_bundle(cm)
+    cm, rb = load_compiled("/root/reference/assets/game/map/test.gmap")
     st = reset(cm)
     f = jax.jit(lambda s, a: step(cm, s, a))
     for _ in range(30):
@@ -90,13 +90,11 @@ def test_pallas_big_raster_matches_xla_on_chip():
     orb.gmap — the map whose 78k-triangle live bound routes to this path
     under backend="auto". 128x128 keeps the XLA reference pass affordable
     (it is ~5 s/frame at 256^2 on this map)."""
-    from c_game_engine_tpu.compiler.compile import compile_map
+    from c_game_engine_tpu.compiler.cache import load_compiled
     from c_game_engine_tpu.core.state import reset
-    from c_game_engine_tpu.render.bundle import build_render_bundle
     from c_game_engine_tpu.render.raster import render
 
-    cm = compile_map("/root/reference/assets/game/map/orb.gmap")
-    rb = build_render_bundle(cm)
+    cm, rb = load_compiled("/root/reference/assets/game/map/orb.gmap")
     st = reset(cm)
     ref = np.asarray(jax.jit(lambda s: render(rb, cm, s, 128, 128, backend="xla"))(st))
     out = np.asarray(
@@ -104,3 +102,23 @@ def test_pallas_big_raster_matches_xla_on_chip():
     )
     diff = np.abs(out - ref)
     assert float((diff > 1 / 255).mean()) < 0.002
+
+
+def test_tpu_trajectory_matches_cpu_trace():
+    """CPU-vs-TPU physics evidence (VERDICT r4 next #5): the chip must
+    track the committed CPU trajectory of a 90-tick scripted rollout
+    (benchmarks/gen_cpu_trace.py) within float-reorder tolerance. The
+    Pallas-vs-XLA test above is TPU-internal and passes under a
+    backend-wide miscompile (the renderer proved XLA:TPU can diverge from
+    CPU on this codebase, PARITY.md #19); this one cannot."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+    from benchmarks.gen_cpu_trace import run_trace
+
+    trace = np.load(pathlib.Path(__file__).parent / "goldens" / "cpu_trace.npz")
+    ppos, apos, ground = run_trace()
+    np.testing.assert_allclose(ppos, trace["player_pos"], atol=2e-3)
+    np.testing.assert_allclose(apos, trace["actor_pos"], atol=5e-3)
+    np.testing.assert_array_equal(ground, trace["on_ground"])

@@ -275,12 +275,12 @@ def test_menu_screens_render_pixels(app):
 def test_focus_ring_visible(rig_stack):
     """Flipping focus between two controls changes pixels (the focus_rect
     ninepatch is drawn around the focused control, UiStack.c:266-273)."""
-    from c_game_engine_tpu.compiler.compile import compile_map
+    from c_game_engine_tpu.compiler.cache import load_compiled
     from c_game_engine_tpu.render.bundle import build_render_bundle
     from c_game_engine_tpu.ui.stack import ui_draw
 
     sd, proc = rig_stack
-    cm = compile_map("/root/reference/assets/game/map/test.gmap")
+    cm, _ = load_compiled("/root/reference/assets/game/map/test.gmap", with_bundle=False)
     rb = build_render_bundle(cm)
     frame = jnp.zeros((96, 96, 3))
     st = init_ui_state(sd)
