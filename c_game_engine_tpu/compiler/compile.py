@@ -308,6 +308,12 @@ def compile_map(
     nrm = nrm[order]
     tri_valid = tri_valid[order]
 
+    # active-edge flags over the reordered soup (Jolt MeshShape cooking,
+    # MapLoader.c:200-273; see compiler/edges.py)
+    from c_game_engine_tpu.compiler.edges import edge_active_flags
+
+    tri_edge_act = edge_active_flags(tris_p, tri_valid)
+
     # per-T_CHUNK chunk AABBs in XZ (for kernel chunk skipping)
     from c_game_engine_tpu.ops.capsule_resolve import T_CHUNK
 
@@ -505,6 +511,7 @@ def compile_map(
         tri_soa=jnp.asarray(
             np.concatenate([tris_p.reshape(t, 9).T, nrm.astype(np.float32).T], axis=0)
         ),
+        tri_edge_active=jnp.asarray(tri_edge_act),
         chunk_bounds=jnp.asarray(chunk_bounds),
         grid_lo=jnp.asarray(grid["lo"]),
         grid_inv_cell=jnp.asarray(grid["inv_cell"]),

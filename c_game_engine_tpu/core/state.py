@@ -36,6 +36,7 @@ class CompiledMap:
     tri_normal: jnp.ndarray  # [T, 3] unit normals (ccw winding)
     tri_valid: jnp.ndarray  # [T] bool
     tri_soa: jnp.ndarray  # [12, T] component-major: ax..cz + normal xyz (geometry_soa)
+    tri_edge_active: jnp.ndarray  # [T, 3] f32 active-edge flags (compiler/edges.py)
     chunk_bounds: jnp.ndarray  # [T/T_CHUNK, 4] per-kernel-chunk XZ AABB (minx minz maxx maxz)
     # uniform XZ broadphase grid (compiler/broadphase.py)
     grid_lo: jnp.ndarray  # [2]

@@ -24,6 +24,44 @@ from c_game_engine_tpu.ops.capsule_resolve import T_CHUNK, _closest_on_tri, _qro
 BLK = 128
 K = 4
 
+# barycentric weight below which the closest point counts as lying ON the
+# corresponding edge (weights sum to 1, so this is a relative tolerance)
+EDGE_EPS = 1e-3
+
+
+def _feature_active(
+    qtx, qty, qtz, ax, ay, az, bx, by, bz, cx, cy, cz, f_ab, f_bc, f_ca,
+):
+    """True where the closest point (qt) on triangle ABC sits on the
+    interior or on an ACTIVE edge/vertex (compiler/edges.py flags).
+    Barycentric classification: P = u*A + v*B + w*C; w~0 -> edge AB,
+    u~0 -> edge BC, v~0 -> edge CA; a vertex is two edges at once and is
+    active iff either incident edge is. Interior points count as active
+    (their contact normal already equals the face normal)."""
+    v0x, v0y, v0z = bx - ax, by - ay, bz - az
+    v1x, v1y, v1z = cx - ax, cy - ay, cz - az
+    v2x, v2y, v2z = qtx - ax, qty - ay, qtz - az
+    d00 = v0x * v0x + v0y * v0y + v0z * v0z
+    d01 = v0x * v1x + v0y * v1y + v0z * v1z
+    d11 = v1x * v1x + v1y * v1y + v1z * v1z
+    d20 = v2x * v0x + v2y * v0y + v2z * v0z
+    d21 = v2x * v1x + v2y * v1y + v2z * v1z
+    den = d00 * d11 - d01 * d01
+    inv_den = 1.0 / jnp.where(jnp.abs(den) > 1e-12, den, 1e-12)
+    v = (d11 * d20 - d01 * d21) * inv_den
+    w = (d00 * d21 - d01 * d20) * inv_den
+    u = 1.0 - v - w
+    on_ab = w < EDGE_EPS
+    on_bc = u < EDGE_EPS
+    on_ca = v < EDGE_EPS
+    interior = ~(on_ab | on_bc | on_ca)
+    return (
+        interior
+        | (on_ab & (f_ab > 0.5))
+        | (on_bc & (f_bc > 0.5))
+        | (on_ca & (f_ca > 0.5))
+    )
+
 
 def _kernel(tri_ref, idx_ref, cnt_ref, body_ref, verts_ref, out_ref, *, D, is_box, V):
     for d in range(D):
@@ -53,6 +91,7 @@ def _kernel(tri_ref, idx_ref, cnt_ref, body_ref, verts_ref, out_ref, *, D, is_bo
             cx, cy, cz = col(6), col(7), col(8)
             fnx, fny, fnz = col(9), col(10), col(11)
             tvalid = col(12)
+            f_ab, f_bc, f_ca = col(13), col(14), col(15)
 
             qtx, qty, qtz = _closest_on_tri(ccx, ccy, ccz, ax, ay, az, bx, by, bz, cx, cy, cz)
             dx, dy, dz = ccx - qtx, ccy - qty, ccz - qtz
@@ -66,15 +105,16 @@ def _kernel(tri_ref, idx_ref, cnt_ref, body_ref, verts_ref, out_ref, *, D, is_bo
             nx = jnp.where(dist > 1e-6, rx * flip, fnx * side)
             ny = jnp.where(dist > 1e-6, ry * flip, fny * side)
             nz = jnp.where(dist > 1e-6, rz * flip, fnz * side)
-            signed = dx * nx + dy * ny + dz * nz
-            # support radius along -n (toward the triangle); is_box is a
-            # compile-time per-body flag, so box bodies keep the closed
-            # form and only hull bodies (leafy/orb/eraser/john) pay the
-            # vert-cloud max (ConvexHullShape support, ModelLoader.c:323)
-            lx, ly, lz = _qrot(-qx, -qy, -qz, qw, nx, ny, nz)
-            if is_box[d]:
-                r_sup = jnp.abs(lx) * hx + jnp.abs(ly) * hy + jnp.abs(lz) * hz
-            else:
+
+            def support(sx_, sy_, sz_):
+                # support radius along -n (toward the triangle); is_box is
+                # a compile-time per-body flag, so box bodies keep the
+                # closed form and only hull bodies (leafy/orb/eraser/john)
+                # pay the vert-cloud max (ConvexHullShape support,
+                # ModelLoader.c:323)
+                lx, ly, lz = _qrot(-qx, -qy, -qz, qw, sx_, sy_, sz_)
+                if is_box[d]:
+                    return jnp.abs(lx) * hx + jnp.abs(ly) * hy + jnp.abs(lz) * hz
                 r_sup = None
                 for v in range(V):
                     s = -(
@@ -83,7 +123,32 @@ def _kernel(tri_ref, idx_ref, cnt_ref, body_ref, verts_ref, out_ref, *, D, is_bo
                         + verts_ref[0, d, 3 * v + 2] * lz
                     )
                     r_sup = s if r_sup is None else jnp.maximum(r_sup, s)
-            depth = jnp.where((tvalid > 0.5) & (on > 0.5), r_sup - signed, -1e30)
+                return r_sup
+
+            signed = dx * nx + dy * ny + dz * nz
+            depth = jnp.where(
+                (tvalid > 0.5) & (on > 0.5), support(nx, ny, nz) - signed, -1e30
+            )
+            # Active-edge fix (Jolt MeshShape; compiler/edges.py): for rows
+            # in GENUINE contact by the raw-normal test whose closest
+            # feature is an INACTIVE (interior) edge/vertex, the
+            # center->closest direction is a tessellation artifact — use
+            # the face normal and re-measure depth along it. Contact
+            # EXISTENCE keeps the raw test: a face-normal depth ignores
+            # lateral distance, so applying it unconditionally would
+            # promote every nearby coplanar triangle to a phantom contact
+            # with a far-away anchor.
+            fx, fy, fz = fnx * side, fny * side, fnz * side
+            feat_act = _feature_active(
+                qtx, qty, qtz, ax, ay, az, bx, by, bz, cx, cy, cz,
+                f_ab, f_bc, f_ca,
+            )
+            use_fix = ~feat_act & (depth > -0.02)
+            depth_f = support(fx, fy, fz) - (dx * fx + dy * fy + dz * fz)
+            nx = jnp.where(use_fix, fx, nx)
+            ny = jnp.where(use_fix, fy, ny)
+            nz = jnp.where(use_fix, fz, nz)
+            depth = jnp.where(use_fix, depth_f, depth)
 
             # chunk top-K by repeated max+mask, inserted into the running set.
             # Ties take the first (lowest-index) lane — argmax semantics of

@@ -39,7 +39,8 @@ from c_game_engine_tpu.physics.character import (
 # matmuls default to bf16 INPUTS, which silently degrades these (the same
 # class of loss that culled whole maps in the renderer, PARITY.md #19).
 def _einsum32(*args, **kw):
-    return jnp.einsum(*args, precision=jax.lax.Precision.HIGHEST, **kw)
+    kw.setdefault("precision", jax.lax.Precision.HIGHEST)
+    return jnp.einsum(*args, **kw)
 
 
 def _unroll_loops() -> bool:
@@ -71,6 +72,9 @@ SLEEP_AFTER = 30
 BAUMGARTE = 0.2
 PENETRATION_SLOP = 0.005
 RELAX = 0.7
+# per-tick velocity retention for slow flat-supported bodies (see the
+# rest-bleed block at the end of _bodies_active)
+REST_BLEED = 0.6
 MANIFOLD_K = 4
 # pair narrowphase: broadphase candidates compact to P_CAP slots per env
 # (top_k over the [D, N] candidate mask), each carrying a K2-point SAT
@@ -517,8 +521,11 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
         from c_game_engine_tpu.ops.capsule_resolve import T_CHUNK
 
         T = cmap.tri_soa.shape[1]
+        # cols 13-15: active-edge flags (compiler/edges.py) for the
+        # contact kernel's inactive-edge normal fix
         tri16 = jnp.concatenate(
-            [cmap.tri_soa.T, cmap.tri_valid[:, None].astype(jnp.float32), jnp.zeros((T, 3), jnp.float32)],
+            [cmap.tri_soa.T, cmap.tri_valid[:, None].astype(jnp.float32),
+             cmap.tri_edge_active],
             axis=1,
         )
         t_pad = (-T) % T_CHUNK
@@ -959,6 +966,31 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
                 cnx0, cny0, cnz0, verts=d_verts, is_box=d_is_box,
             )
             depth0 = jnp.where(cand_ok0, r_sup0 - signed, -jnp.inf)
+            # active-edge fix — same rule as the Pallas kernel: genuine
+            # raw-normal contacts on INACTIVE features switch to the face
+            # normal with depth re-measured along it
+            from c_game_engine_tpu.ops.body_contacts import _feature_active
+
+            gf = lambda k_: jnp.take(
+                cmap.tri_edge_active[:, k_], jnp.clip(cand, 0, None)
+            )
+            feat_act = _feature_active(
+                qtx, qty, qtz, c[0], c[1], c[2], c[3], c[4], c[5],
+                c[6], c[7], c[8], gf(0), gf(1), gf(2),
+            )
+            use_fix = ~feat_act & (depth0 > -0.02)
+            ffx, ffy, ffz = fnx * side, fny * side, fnz * side
+            r_sup_f = _support_toward(
+                e(dqx), e(dqy), e(dqz), e(dqw), e(dhx * 1.0), e(dhy * 1.0), e(dhz * 1.0),
+                ffx, ffy, ffz, verts=d_verts, is_box=d_is_box,
+            )
+            depth_f = jnp.where(
+                cand_ok0, r_sup_f - g.dot3(dx_, dy_, dz_, ffx, ffy, ffz), -jnp.inf
+            )
+            cnx0 = jnp.where(use_fix, ffx, cnx0)
+            cny0 = jnp.where(use_fix, ffy, cny0)
+            cnz0 = jnp.where(use_fix, ffz, cnz0)
+            depth0 = jnp.where(use_fix, depth_f, depth0)
             sel = [[] for _ in range(7)]
             dwork = depth0
             for _k in range(MANIFOLD_K):
@@ -1521,7 +1553,31 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
                 carry, _ = substep(carry, None)
         else:
             carry, _ = jax.lax.scan(substep, carry, None, length=n_substeps)
-        return carry
+
+        # ---- rest-bleed damping (round 5, PARITY #18): Jolt's sequential
+        # solver + warm starting leaves resting stacks at true zero
+        # velocity, so they reach timeBeforeSleep; our fixed-sweep Jacobi
+        # solve leaves ~0.01-0.03 m/s of residual chatter on the TOP of a
+        # stack — enough to keep resetting the sleep counter forever.
+        # Bodies moving slower than 3x the sleep threshold while resting
+        # on a NEAR-HORIZONTAL support (contact normal within ~18 deg of
+        # up — excludes slopes, so Coulomb slide start-up can still crawl
+        # through the band and escape) bleed the residual each tick.
+        (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz) = carry
+        flat_tri = jnp.any((gen_d > -0.05) & (c_ny > 0.95), axis=1)  # [D, B]
+        # pair_bp (full support sum + slack), NOT near0: near0's 0.8-shrunk
+        # sum misses genuinely stacked flush boxes
+        flat_pair = jnp.any(pair_bp & (pny > 0.95), axis=1)
+        diag2a = dhx * dhx + dhy * dhy + dhz * dhz
+        spd2 = (
+            dvx * dvx + dvy * dvy + dvz * dvz
+            + (dwx * dwx + dwy * dwy + dwz * dwz) * diag2a
+        )
+        bleed = d_on_t & (flat_tri | flat_pair) & (spd2 <= 9.0 * SLEEP_SPEED2)
+        damp = jnp.where(bleed, REST_BLEED, 1.0)
+        dvx, dvy, dvz = dvx * damp, dvy * damp, dvz * damp
+        dwx, dwy, dwz = dwx * damp, dwy * damp, dwz * damp
+        return (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz)
 
     carry0 = (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz)
     carry = jax.lax.cond(jnp.any(awake), _bodies_active, lambda c: c, carry0)

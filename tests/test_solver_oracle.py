@@ -56,7 +56,7 @@ def _tess_quad(a, b, c, d, n):
     return tris
 
 
-def _ramp_map(theta_deg: float, cls="npc_john", drop=0.7):
+def _ramp_map(theta_deg: float, cls="npc_john", drop=0.7, tess=0):
     """An infinite-feeling inclined plane, descending toward +x:
     y(x) = -tan(theta) * x. Same winding as worldgen.box_room's floor.
 
@@ -78,10 +78,11 @@ def _ramp_map(theta_deg: float, cls="npc_john", drop=0.7):
     8.094/8.090 at 80)."""
     t = float(np.tan(np.radians(theta_deg)))
     h = 12.0
-    tris = np.array(
-        _quad((-h, h * t, -h), (-h, h * t, h), (h, -h * t, h), (h, -h * t, -h)),
-        np.float32,
-    )
+    corners = ((-h, h * t, -h), (-h, h * t, h), (h, -h * t, h), (h, -h * t, -h))
+    if tess:
+        tris = np.array(_tess_quad(*corners, tess), np.float32)
+    else:
+        tris = np.array(_quad(*corners), np.float32)
     body = actor(cls, (0.0, drop, 0.0))
     # player far off to the side so the capsule never touches the body
     return make_map([body], tris=tris, spawn=(0.0, 8.0 * t + 1.0, -8.0))
@@ -219,3 +220,58 @@ def test_offcenter_support_tips_with_torque_sign():
     p = np.asarray(st.actors.pos[i])
     assert p[1] < -1.0, p
     assert p[0] > 0.05, p
+
+
+def test_friction_slide_on_tessellated_ramp():
+    """The 55-deg Coulomb slide oracle on a 24x24-TESSELLATED ramp (1152
+    triangles, ~1 m cells): the slider must cross the interior
+    tessellation edges without jamming and accelerate within the same
+    bound as on the single-quad ramp. Before the active-edge fix
+    (compiler/edges.py + the inactive-edge normal replacement in both
+    contact paths) the slider jammed here — the docstring of _ramp_map
+    recorded it as PARITY #17. Jolt masks these edges in its MeshShape
+    cooking (MapLoader.c:200-273)."""
+    theta = 55.0
+    cmap = _ramp_map(theta, tess=24)
+    i = _row_of(cmap, "NPC_JOHN")
+    st, _ = _run(cmap, 60)  # land + enter steady sliding
+    v1 = np.asarray(st.actors.vel[i]).copy()
+    window = 30
+    st, _ = _run(cmap, window, state=st)
+    v2 = np.asarray(st.actors.vel[i])
+    tr = np.radians(theta)
+    a_pred = G * (np.sin(tr) - MU * np.cos(tr))
+    a_meas = np.linalg.norm(v2 - v1) * TPS / window
+    assert a_meas > 0.5 * a_pred, (a_meas, a_pred)
+    assert a_meas < 1.5 * a_pred, (a_meas, a_pred)
+    d = (v2 - v1) / np.linalg.norm(v2 - v1)
+    assert d[0] > 0.5 and d[1] < 0.0 and abs(d[2]) < 0.2, d
+
+
+def test_kinetic_friction_on_tessellated_floor():
+    """Flat-floor kinetic slide across a 12x12-tessellated floor: the
+    deceleration must stay ~mu*g — interior seams must neither jam the
+    slider (a_meas >> pred) nor trip it."""
+    f, hh = -1.0, 8.0
+    tris = np.array(
+        _tess_quad((-hh, f, -hh), (-hh, f, hh), (hh, f, hh), (hh, f, -hh), 12),
+        np.float32,
+    )
+    cmap = make_map(
+        [actor("npc_john", (-4.0, -0.45, 0.0))], tris=tris, spawn=(0.0, 0.0, -7.0)
+    )
+    i = _row_of(cmap, "NPC_JOHN")
+    st, _ = _run(cmap, 120)
+    assert float(jnp.linalg.norm(st.actors.vel[i])) < 0.05
+    st = st.replace(
+        actors=st.actors.replace(
+            vel=st.actors.vel.at[i].set(jnp.array([3.0, 0.0, 0.0])),
+            sleep=st.actors.sleep.at[i].set(0),
+        )
+    )
+    window = 10
+    st, _ = _run(cmap, window, state=st)
+    v1 = np.asarray(st.actors.vel[i])
+    a_meas = (3.0 - v1[0]) * TPS / window
+    a_pred = MU * G
+    assert 0.5 * a_pred < a_meas < 1.5 * a_pred, (a_meas, a_pred)
