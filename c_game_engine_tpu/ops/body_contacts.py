@@ -70,6 +70,7 @@ def _kernel(tri_ref, idx_ref, cnt_ref, body_ref, verts_ref, out_ref, *, D, is_bo
         qx, qy, qz, qw = row(3), row(4), row(5), row(6)
         hx, hy, hz = row(7), row(8), row(9)
         on = row(10)
+        bvx, bvy, bvz = row(11), row(12), row(13)
 
         neg = jnp.full_like(ccx, -1e30)
         zero = jnp.zeros_like(ccx)
@@ -106,15 +107,22 @@ def _kernel(tri_ref, idx_ref, cnt_ref, body_ref, verts_ref, out_ref, *, D, is_bo
             ny = jnp.where(dist > 1e-6, ry * flip, fny * side)
             nz = jnp.where(dist > 1e-6, rz * flip, fnz * side)
 
-            def support(sx_, sy_, sz_):
-                # support radius along -n (toward the triangle); is_box is
-                # a compile-time per-body flag, so box bodies keep the
-                # closed form and only hull bodies (leafy/orb/eraser/john)
-                # pay the vert-cloud max (ConvexHullShape support,
-                # ModelLoader.c:323)
-                lx, ly, lz = _qrot(-qx, -qy, -qz, qw, sx_, sy_, sz_)
-                if is_box[d]:
-                    return jnp.abs(lx) * hx + jnp.abs(ly) * hy + jnp.abs(lz) * hz
+            # Active-edge fix (Jolt MeshShape; compiler/edges.py): rows in
+            # GENUINE contact by the raw-normal test whose closest feature
+            # is an INACTIVE (interior) edge/vertex get the face normal —
+            # the center->closest direction there is a tessellation
+            # artifact that jams sliding. Contact EXISTENCE keeps the raw
+            # test (a face-normal depth ignores lateral distance and would
+            # promote every nearby coplanar triangle to a phantom contact).
+            fx, fy, fz = fnx * side, fny * side, fnz * side
+            # support radius along -n (toward the triangle); is_box is a
+            # compile-time per-body flag, so box bodies keep the closed
+            # form and only hull bodies (leafy/orb/eraser/john) pay the
+            # vert-cloud max (ConvexHullShape support, ModelLoader.c:323)
+            lx, ly, lz = _qrot(-qx, -qy, -qz, qw, nx, ny, nz)
+            if is_box[d]:
+                r_sup = jnp.abs(lx) * hx + jnp.abs(ly) * hy + jnp.abs(lz) * hz
+            else:
                 r_sup = None
                 for v in range(V):
                     s = -(
@@ -123,32 +131,42 @@ def _kernel(tri_ref, idx_ref, cnt_ref, body_ref, verts_ref, out_ref, *, D, is_bo
                         + verts_ref[0, d, 3 * v + 2] * lz
                     )
                     r_sup = s if r_sup is None else jnp.maximum(r_sup, s)
-                return r_sup
 
             signed = dx * nx + dy * ny + dz * nz
             depth = jnp.where(
-                (tvalid > 0.5) & (on > 0.5), support(nx, ny, nz) - signed, -1e30
+                (tvalid > 0.5) & (on > 0.5), r_sup - signed, -1e30
             )
-            # Active-edge fix (Jolt MeshShape; compiler/edges.py): for rows
-            # in GENUINE contact by the raw-normal test whose closest
-            # feature is an INACTIVE (interior) edge/vertex, the
-            # center->closest direction is a tessellation artifact — use
-            # the face normal and re-measure depth along it. Contact
-            # EXISTENCE keeps the raw test: a face-normal depth ignores
-            # lateral distance, so applying it unconditionally would
-            # promote every nearby coplanar triangle to a phantom contact
-            # with a far-away anchor.
-            fx, fy, fz = fnx * side, fny * side, fnz * side
+            # The NORMAL switches to the face normal; the DEPTH keeps the
+            # raw measure (the owning triangle's interior closest point
+            # always carries the true face-contact depth, so the fixed
+            # contact only supplies the corrected constraint DIRECTION at
+            # the seam anchor). Gated on ALIGNMENT (n.f > 0.7): a genuine
+            # seam catch tilts the raw normal only slightly off the face
+            # normal, while the lateral near-grazes of tall hulls (raw
+            # depth ~0 at far-side anchors) must NOT become face contacts —
+            # un-gated they push resting leafy bodies sideways forever
+            # (measured: 2 bodies awake in every env, -26% steps/s on
+            # shapes).
             feat_act = _feature_active(
                 qtx, qty, qtz, ax, ay, az, bx, by, bz, cx, cy, cz,
                 f_ab, f_bc, f_ca,
             )
-            use_fix = ~feat_act & (depth > -0.02)
-            depth_f = support(fx, fy, fz) - (dx * fx + dy * fy + dz * fz)
+            align = nx * fx + ny * fy + nz * fz
+            # TANGENTIAL-MOTION gate: the fix exists to stop SLIDING
+            # bodies jamming on seams. A resting body keeps the raw
+            # normals — switching its support normals mid-rest perturbs
+            # the settled equilibrium into a fall-catch limit cycle that
+            # blocks sleep (measured: 2 resting leafy hulls chattered at
+            # 0.04 m/s forever, -26% steps/s on shapes).
+            vdotf = bvx * fx + bvy * fy + bvz * fz
+            vt2 = (
+                bvx * bvx + bvy * bvy + bvz * bvz - vdotf * vdotf
+            )
+            sliding = vt2 > 0.05 * 0.05
+            use_fix = ~feat_act & (depth > -0.02) & (align > 0.7) & sliding
             nx = jnp.where(use_fix, fx, nx)
             ny = jnp.where(use_fix, fy, ny)
             nz = jnp.where(use_fix, fz, nz)
-            depth = jnp.where(use_fix, depth_f, depth)
 
             # chunk top-K by repeated max+mask, inserted into the running set.
             # Ties take the first (lowest-index) lane — argmax semantics of

@@ -34,12 +34,16 @@ from c_game_engine_tpu.physics.character import (
     STICK_DOWN,
 )
 
-# Small geometric contractions only (contact-basis projections, 4x4
-# transforms) — never MXU-scale GEMMs. Explicit full-f32 precision: TPU
-# matmuls default to bf16 INPUTS, which silently degrades these (the same
-# class of loss that culled whole maps in the renderer, PARITY.md #19).
+# Solver contractions ([P,B]x[P,D,B] contact-basis projections, one-hot
+# writebacks). These run at DEFAULT matmul precision deliberately: XLA
+# lowers these small/batched contractions exactly (measured CPU-vs-TPU
+# trajectory agreement ~1e-6 over 85 ticks at default in rounds 2-5),
+# and forcing Precision.HIGHEST measured -28% steps/s on the shapes
+# config. The renderer's 4x4 projection products DO need HIGHEST
+# (PARITY.md #19); the guard for THIS choice is the on-chip
+# CPU-vs-TPU trajectory test (tests/test_tpu_parity.py), which fails if
+# a compiler change ever starts rounding these through bf16.
 def _einsum32(*args, **kw):
-    kw.setdefault("precision", jax.lax.Precision.HIGHEST)
     return jnp.einsum(*args, **kw)
 
 
@@ -919,9 +923,12 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
 
             pad = (-B) % PBLK
             body11 = jnp.zeros((16, D, B + pad), jnp.float32)
+            # rows 11-13: body velocity, for the kernel's tangential-motion
+            # gate on the active-edge normal fix
             comps = [ccx0, ccy0, ccz0, dqx, dqy, dqz, dqw,
                      jnp.broadcast_to(dhx, (D, B)), jnp.broadcast_to(dhy, (D, B)),
-                     jnp.broadcast_to(dhz, (D, B)), awake.astype(jnp.float32)]
+                     jnp.broadcast_to(dhz, (D, B)), awake.astype(jnp.float32),
+                     dvx, dvy, dvz]
             for k_, a_ in enumerate(comps):
                 body11 = body11.at[k_, :, :B].set(a_)
             # per-body chunk margin: this body's support diagonal + candidate
@@ -968,7 +975,9 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
             depth0 = jnp.where(cand_ok0, r_sup0 - signed, -jnp.inf)
             # active-edge fix — same rule as the Pallas kernel: genuine
             # raw-normal contacts on INACTIVE features switch to the face
-            # normal with depth re-measured along it
+            # normal; DEPTH keeps the raw measure (the owning triangle's
+            # interior contact carries the true face depth — see
+            # ops/body_contacts.py)
             from c_game_engine_tpu.ops.body_contacts import _feature_active
 
             gf = lambda k_: jnp.take(
@@ -978,19 +987,19 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
                 qtx, qty, qtz, c[0], c[1], c[2], c[3], c[4], c[5],
                 c[6], c[7], c[8], gf(0), gf(1), gf(2),
             )
-            use_fix = ~feat_act & (depth0 > -0.02)
             ffx, ffy, ffz = fnx * side, fny * side, fnz * side
-            r_sup_f = _support_toward(
-                e(dqx), e(dqy), e(dqz), e(dqw), e(dhx * 1.0), e(dhy * 1.0), e(dhz * 1.0),
-                ffx, ffy, ffz, verts=d_verts, is_box=d_is_box,
-            )
-            depth_f = jnp.where(
-                cand_ok0, r_sup_f - g.dot3(dx_, dy_, dz_, ffx, ffy, ffz), -jnp.inf
+            align = g.dot3(cnx0, cny0, cnz0, ffx, ffy, ffz)
+            # tangential-motion gate (see ops/body_contacts.py): only
+            # SLIDING bodies get the normal fix; resting bodies keep the
+            # raw normals and their settled equilibrium
+            vdf = g.dot3(e(dvx), e(dvy), e(dvz), ffx, ffy, ffz)
+            vt2 = e(dvx * dvx + dvy * dvy + dvz * dvz) - vdf * vdf
+            use_fix = (
+                ~feat_act & (depth0 > -0.02) & (align > 0.7) & (vt2 > 0.05 * 0.05)
             )
             cnx0 = jnp.where(use_fix, ffx, cnx0)
             cny0 = jnp.where(use_fix, ffy, cny0)
             cnz0 = jnp.where(use_fix, ffz, cnz0)
-            depth0 = jnp.where(use_fix, depth_f, depth0)
             sel = [[] for _ in range(7)]
             dwork = depth0
             for _k in range(MANIFOLD_K):
