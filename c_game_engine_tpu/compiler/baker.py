@@ -78,7 +78,7 @@ def make_shader(point_lights, occluder_tris, bounces: int = 0, albedo: float = A
     # einsums take bf16 inputs and would corrupt the ray-hit solves
     # (PARITY.md #19)
     def _einsum32(*args, **kw):
-        return _einsum32(*args, precision=jax.lax.Precision.HIGHEST, **kw)
+        return jnp.einsum(*args, precision=jax.lax.Precision.HIGHEST, **kw)
 
     tri_a = jnp.asarray(occluder_tris[:, 0])
     tri_e1 = jnp.asarray(occluder_tris[:, 1] - occluder_tris[:, 0])
