@@ -15,6 +15,11 @@ from typing import Any
 import jax.numpy as jnp
 from flax import struct
 
+# Fixed width of the per-env pair warm-start cache. Must cover
+# physics/batched.py P_CAP (asserted there); kept here so the state
+# schema has no import-time dependency on the solver module.
+PAIR_WARM_CAP = 16
+
 # Event queue capacity per tick (signal system). The reference's recursive
 # synchronous ActorFireOutput (Actor.c:80-122) is replaced by bounded rounds
 # over this queue.
@@ -177,6 +182,17 @@ class ActorsState:
     # (physics/batched.py) = body asleep, frozen until contacted/moved
     # (Jolt's 0.5 s time-before-sleep island sleeping)
     sleep: jnp.ndarray  # [N] i32
+    # warm-start cache: accumulated centroid normal impulses carried
+    # across ticks (Jolt's ContactConstraintManager warm starting — the
+    # mechanism that lets its sequential solver hold deep stacks;
+    # engine/src/physics/Physics.c:89-100 system setup). Applying last
+    # tick's solution before the fixed-sweep Jacobi iterations makes
+    # convergence accumulate ACROSS ticks, so resting stacks deeper than
+    # the per-tick iteration budget stay rigid (a cold 4-box stack needs
+    # ~16 Jacobi sweeps/substep; warm-started it holds at 6).
+    warm_n: jnp.ndarray  # [N] f32 — body-vs-world manifold impulse
+    warm_pair: jnp.ndarray  # [PAIR_WARM_CAP] f32 — pair manifold impulse
+    warm_pair_idx: jnp.ndarray  # [PAIR_WARM_CAP] i32 flat pair key, -1 empty
 
 
 @struct.dataclass
@@ -289,6 +305,9 @@ def reset(cmap: CompiledMap) -> EnvState:
         fdata=cmap.init_fdata,
         idata=cmap.init_idata,
         sleep=jnp.zeros(n, jnp.int32),
+        warm_n=jnp.zeros(n, jnp.float32),
+        warm_pair=jnp.zeros(PAIR_WARM_CAP, jnp.float32),
+        warm_pair_idx=jnp.full(PAIR_WARM_CAP, -1, jnp.int32),
     )
     env = EnvGlobals(
         light_color=cmap.default_light,

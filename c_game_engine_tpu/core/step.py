@@ -421,12 +421,14 @@ def step_batch(cmap, state: EnvState, actions: Actions) -> EnvState:
     )
 
     # --------------------------------------------- physics (2 substeps)
-    bpos, bquat, bvel, bomega, bsleep = batched.step_bodies_batched(
+    (bpos, bquat, bvel, bomega, bsleep,
+     bwarm_n, bwarm_pair, bwarm_pair_idx) = batched.step_bodies_batched(
         cmap, state.actors, state.player.pos, state.player.vel, delta / TPS, n_substeps=2
     )
     state = state.replace(
         actors=state.actors.replace(
-            pos=bpos, quat=bquat, vel=bvel, omega=bomega, sleep=bsleep
+            pos=bpos, quat=bquat, vel=bvel, omega=bomega, sleep=bsleep,
+            warm_n=bwarm_n, warm_pair=bwarm_pair, warm_pair_idx=bwarm_pair_idx
         )
     )
 

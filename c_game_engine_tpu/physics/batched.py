@@ -88,6 +88,10 @@ P_CAP = 16
 K2 = 4
 PAIR_CAND_SLACK = 0.3
 
+from c_game_engine_tpu.core.state import PAIR_WARM_CAP as _PAIR_WARM_CAP  # noqa: E402
+
+assert P_CAP <= _PAIR_WARM_CAP, "warm-start cache narrower than the pair table"
+
 
 def _support_toward(qx, qy, qz, qw, hx, hy, hz, nx, ny, nz, verts=None, is_box=None):
     """Support extent of a dynamic body from its shape center along -n
@@ -606,7 +610,30 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
     # Divergence from Jolt: islands wake one contact-hop per tick instead
     # of instantly (PARITY.md).
     sleep_d = actors.sleep[:, slc].T  # [D, B]
-    asleep0 = sleep_d >= SLEEP_AFTER
+    # island-synchronized sleep entry (Jolt sleeps whole islands
+    # atomically — PhysicsSystem island manager): a body may only cross
+    # the sleep threshold together with every body it touches, so gate on
+    # the ISLAND-MINIMUM counter, min-propagated over touching pairs.
+    # Without this, the member that settled first sleeps a few ticks
+    # early, and the still-awake rest of the stack then reacts against an
+    # unsupported frozen body (the warm-start reaction has nothing under
+    # it) — a measured g*h downward kick that resets the whole island.
+    # 4 hops covers islands of diameter 5 (tallest shipped/bench stack is
+    # 3-4); taller chains still converge over ticks as counters advance.
+    d2n = ((sl[:, None] == jnp.arange(n)[None, :]) & (sl >= 0)[:, None]).astype(
+        jnp.float32
+    )  # [D, N] static (also used by the final writeback)
+    _touch = pair_ok0 & ((r_i0 + r_j0) - pdist0 > -0.05)  # [D, N, B]
+    _BIGC = jnp.float32(1e6)
+    cnt_n = jnp.where(o_inv_m > 0.0, actors.sleep.T.astype(jnp.float32), _BIGC)
+    cnt_d = sleep_d.astype(jnp.float32)
+    _has_lane = (a2d >= 0)[:, None]  # [N, 1]
+    for _hop in range(4):
+        pmin = jnp.min(jnp.where(_touch, cnt_n[None, :, :], _BIGC), axis=1)
+        cnt_d = jnp.minimum(cnt_d, pmin)
+        scat = _einsum32("db,dn->nb", cnt_d, d2n)
+        cnt_n = jnp.where(_has_lane, jnp.minimum(cnt_n, scat), cnt_n)
+    asleep0 = cnt_d >= SLEEP_AFTER
     self_moving = dvx * dvx + dvy * dvy + dvz * dvz > SLEEP_SPEED2
     near0 = pair_ok0 & (p_rsum - pdist0 > -0.05)
     o_speed2 = (ovx * ovx + ovy * ovy + ovz * ovz)  # [N, B]
@@ -624,10 +651,6 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
     p_speed2 = jnp.sum(player_vel * player_vel, -1)[None]  # [1, B]
     wake_player = (0.9 * rsw + CAPSULE_RADIUS - pdw > -0.05) & (p_speed2 > SLEEP_SPEED2)
     awake = d_on_t & (~asleep0 | self_moving | wake_pair | wake_player)
-    # static dyn-lane -> actor one-hot (also used by the final writeback)
-    d2n = ((sl[:, None] == jnp.arange(n)[None, :]) & (sl >= 0)[:, None]).astype(
-        jnp.float32
-    )  # [D, N] static
     # batch-global pair-activity gate: the expensive SAT generation and the
     # in-substep pair solve run under lax.cond, so ticks where every
     # broadphase pair candidate is fully asleep (the common steady state —
@@ -654,6 +677,11 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
         p_d = fidx // n  # [P, B] A-side dyn lane
         p_n = fidx % n  # [P, B] B-side actor slot
         a_act = slc[p_d]  # [P, B] A-side actor slot
+        # warm-start keys: the flat (dyn lane, actor) index identifies a
+        # pair across ticks (slot ORDER is already deterministic — prio is
+        # index-ranked — but the slot a pair lands in shifts when
+        # candidates appear/disappear, so matching is by key, not slot)
+        fidx_keys = jnp.where(pr_on, fidx, -1).astype(jnp.int32)
         # PACKED gathers: TPU gathers are scalarized, so the ~30 separate
         # per-pair lookups this block used to make were most of the
         # generation cost. One static per-actor row gather per side + one
@@ -892,7 +920,7 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
             (b_dl[:, None, :] == jnp.arange(D)[None, :, None]) & b_dyn[:, None, :]
         ).astype(jnp.float32)
         a_mu_p = jnp.sqrt(cmap.friction[a_act] * cmap.friction[p_n])  # geometric mean
-        return (pd0, pp_x, pp_y, pp_z, pcand_live, pn2_x, pn2_y, pn2_z, ohA, ohB, a_mu_p, a_invm, b_invm, a_iIx, a_iIy, a_iIz, b_iIx, b_iIy, b_iIz, pA_qx, pA_qy, pA_qz, pA_qw, pB_qx, pB_qy, pB_qz, pB_qw, pA_cx, pA_cy, pA_cz, pB_cx, pB_cy, pB_cz, vkBx, vkBy, vkBz, b_dynf)
+        return (pd0, pp_x, pp_y, pp_z, pcand_live, pn2_x, pn2_y, pn2_z, ohA, ohB, a_mu_p, a_invm, b_invm, a_iIx, a_iIy, a_iIz, b_iIx, b_iIy, b_iIz, pA_qx, pA_qy, pA_qz, pA_qw, pB_qx, pB_qy, pB_qz, pB_qw, pA_cx, pA_cy, pA_cz, pB_cx, pB_cy, pB_cz, vkBx, vkBy, vkBz, b_dynf, fidx_keys)
 
     def _pair_zero(_):
         zpk = jnp.zeros((P, K2, B), jnp.float32)
@@ -904,6 +932,7 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
             zp, zp, zp, zp, zp, zp, zp, zp, zp,
             zp, zp, zp, zp, zp, zp, zp, zp,
             zp, zp, zp, zp, zp, zp, zp, zp, zp, zp,
+            jnp.full((P, B), -1, jnp.int32),
         )
 
     # ---------------- batch-global body-activity gate -----------------
@@ -914,10 +943,22 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
     # Wake tests above run unconditionally and flip this gate the tick
     # anything starts moving (player approach, kinematic mover, gameplay
     # velocity writes).
+    # stored warm-start cache, solver layouts: tri impulses per dyn lane
+    # [D, B], pair impulses/keys per slot [PAIR_WARM_CAP, B]
+    wt_st = actors.warm_n[:, slc].T * (sl >= 0).astype(jnp.float32)[:, None]
+    wvals_st = actors.warm_pair.T  # [PC, B]
+    wkeys_st = actors.warm_pair_idx.T  # [PC, B] i32
+
     def _bodies_active(carry0):
         (dpx, dpy, dpz, dqx, dqy, dqz, dqw,
          dvx, dvy, dvz, dwx, dwy, dwz) = carry0
-        (pd0, pp_x, pp_y, pp_z, pcand_live, pn2_x, pn2_y, pn2_z, ohA, ohB, a_mu_p, a_invm, b_invm, a_iIx, a_iIy, a_iIz, b_iIx, b_iIy, b_iIz, pA_qx, pA_qy, pA_qz, pA_qw, pB_qx, pB_qy, pB_qz, pB_qw, pA_cx, pA_cy, pA_cz, pB_cx, pB_cy, pB_cz, vkBx, vkBy, vkBz, b_dynf) = jax.lax.cond(pair_any, _pair_gen, _pair_zero, 0)
+        (pd0, pp_x, pp_y, pp_z, pcand_live, pn2_x, pn2_y, pn2_z, ohA, ohB, a_mu_p, a_invm, b_invm, a_iIx, a_iIy, a_iIz, b_iIx, b_iIy, b_iIz, pA_qx, pA_qy, pA_qz, pA_qw, pB_qx, pB_qy, pB_qz, pB_qw, pA_cx, pA_cy, pA_cz, pB_cx, pB_cy, pB_cz, vkBx, vkBy, vkBz, b_dynf, fidx_keys) = jax.lax.cond(pair_any, _pair_gen, _pair_zero, 0)
+        # warm-start lookup: re-key last tick's accumulated pair impulses
+        # onto this tick's pair slots ([P, P] key match per env — P=16)
+        match_w = (fidx_keys[:, None, :] == wkeys_st[None, :, :]) & (
+            fidx_keys[:, None, :] >= 0
+        )
+        wp0 = jnp.sum(match_w.astype(jnp.float32) * wvals_st[None, :, :], axis=1)  # [P, B]
         if use_pallas:
             from c_game_engine_tpu.ops.body_contacts import BLK as PBLK, body_contacts_pallas
 
@@ -1012,7 +1053,8 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
         # candidate set: contacts + near-contacts (catch mid-tick impacts)
         cand_live = gen_d > -0.3
         def substep(carry, _):
-            dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz = carry
+            (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz,
+             wt_c, wp_c) = carry
             on = awake  # sleeping lanes: frozen pose, no gravity/pushes
             # SYMPLECTIC (semi-implicit) Euler, Jolt's step order: gravity
             # -> velocity constraint solve -> THEN position integration
@@ -1087,6 +1129,30 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
             tny = jnp.where(coherent, tny, 1.0)
             tnz = jnp.where(coherent, tnz, 0.0)
 
+            # ---- warm start, body-vs-world (Jolt's
+            # ContactConstraintManager warm starting): apply last
+            # substep's accumulated centroid normal impulse up front so
+            # the fixed-sweep iterations only solve the residual. Gated on
+            # an awake coherent manifold — sleeping lanes get no gravity,
+            # so a warm kick would inject energy instead of cancelling it.
+            wt_eff = jnp.where(coherent & on, wt_c, 0.0)  # [D, B]
+            iwx, iwy, iwz = tnx * wt_eff, tny * wt_eff, tnz * wt_eff
+            dvx = dvx + iwx * d_inv_m
+            dvy = dvy + iwy * d_inv_m
+            dvz = dvz + iwz * d_inv_m
+            # application point: the ACTIVE-manifold centroid — the same
+            # point the stored impulse was accumulated at, so re-applying
+            # is the faithful inverse. (A candidate-point centroid was
+            # tried and rejected: off-center near-contact points on
+            # adjacent triangles bias it sideways, injecting a steady yaw
+            # torque that walks yaw-free bodies across slopes.)
+            rwx, rwy, rwz = tc_px - ccx, tc_py - ccy, tc_pz - ccz
+            tqwx, tqwy, tqwz = g.cross3(rwx, rwy, rwz, iwx, iwy, iwz)
+            awx_, awy_, awz_ = rot_inv_apply(
+                dqx, dqy, dqz, dqw, iIx, iIy, iIz, tqwx, tqwy, tqwz
+            )
+            dwx, dwy, dwz = dwx + awx_, dwy + awy_, dwz + awz_
+
             def tri_centroid_pass(vo):
                 dvx, dvy, dvz, dwx, dwy, dwz, acc = vo
                 rx_ = tc_px - ccx
@@ -1102,8 +1168,12 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
                 )
                 ca_x, ca_y, ca_z = g.cross3(ia_x, ia_y, ia_z, rx_, ry_, rz_)
                 k_n = d_inv_m + ca_x * tnx + ca_y * tny + ca_z * tnz
-                jn = jnp.where(coherent & (vn < 0), -vn / jnp.maximum(k_n, 1e-9), 0.0) * RELAX
-                jn_tot = acc["tc_n"] + jn
+                # signed delta with accumulated clamp (sequential-impulse
+                # bookkeeping): separating velocity RETURNS warm/earlier
+                # impulse down to zero instead of being ignored
+                jn_d = jnp.where(coherent, -vn / jnp.maximum(k_n, 1e-9), 0.0) * RELAX
+                jn_tot = jnp.maximum(acc["tc_n"] + jn_d, 0.0)
+                jn = jn_tot - acc["tc_n"]
                 ix_, iy_, iz_ = tnx * jn, tny * jn, tnz * jn
                 # friction at the centroid
                 vtx = vptx - tnx * vn
@@ -1159,8 +1229,9 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
                 )
                 axr_x, axr_y, axr_z = g.cross3(ax_, ay_, az_, rx_, ry_, rz_)
                 k_n = d_inv_m[:, None, :] + g.dot3(axr_x, axr_y, axr_z, c_nx, c_ny, c_nz)
-                jn = jnp.where(active & (vn < 0), -vn / jnp.maximum(k_n, 1e-9), 0.0) * RELAX
-                tp_n = acc["tp_n"] + jn
+                jn_d = jnp.where(active, -vn / jnp.maximum(k_n, 1e-9), 0.0) * RELAX
+                tp_n = jnp.maximum(acc["tp_n"] + jn_d, 0.0)
+                jn = tp_n - acc["tp_n"]
                 impx, impy, impz = c_nx * jn, c_ny * jn, c_nz * jn
                 dvx = dvx + jnp.sum(impx, 1) * d_inv_m
                 dvy = dvy + jnp.sum(impy, 1) * d_inv_m
@@ -1224,9 +1295,12 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
 
             def _tri_acc0():
                 # per-contact accumulated normal/friction impulses for the
-                # Coulomb clamp (tc_* = centroid pass, tp_* = per-point)
+                # Coulomb clamp (tc_* = centroid pass, tp_* = per-point).
+                # tc_n starts at the warm-start impulse already applied, so
+                # the signed sweeps can return any part of it that this
+                # substep doesn't need (accumulated clamp at >= 0).
                 return {
-                    "tc_n": jnp.zeros_like(tc_px), "tc_t": jnp.zeros_like(tc_px),
+                    "tc_n": wt_eff, "tc_t": jnp.zeros_like(tc_px),
                     "tp_n": jnp.zeros_like(c_d), "tp_t": jnp.zeros_like(c_d),
                 }
 
@@ -1239,7 +1313,8 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
                 else:
                     c = jax.lax.fori_loop(0, SOLVER_ITERS, tri_iter, c)
                 zz = jnp.zeros_like(dpx)
-                return c[:6] + (zz, zz, zz)
+                wt_o = jnp.where(coherent, c[6]["tc_n"], 0.0)
+                return c[:6] + (zz, zz, zz, wt_o, wp_c)
 
             def loop_with_pairs(c):
                 # ------------------- pair contacts (compacted SAT manifolds) -----
@@ -1304,6 +1379,55 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
                 cen_y = jnp.sum(pp_y * actf, 1) / n_act[:, 0, :]
                 cen_z = jnp.sum(pp_z * actf, 1) / n_act[:, 0, :]
 
+                # ---- warm start, pair contacts: re-apply last substep's
+                # accumulated centroid impulse (key-matched across ticks)
+                # before the sweeps, so a stack's support chain starts at
+                # its settled solution and the per-substep iterations only
+                # solve the residual — deep stacks converge ACROSS ticks.
+                # Awake-side pairs only: a fully sleeping pair integrated
+                # no gravity, so a warm kick would pop it apart.
+                # BOTH dynamic sides must be awake (a kinematic/static B
+                # side counts): warm-kicking a sleeping partner injects an
+                # unopposed reaction — island-synchronized sleep makes the
+                # mixed case rare, this gate makes it harmless.
+                aw_f = awake.astype(jnp.float32)
+                awA = _einsum32("db,pdb->pb", aw_f, ohA) > 0.5
+                awB = _einsum32("db,pdb->pb", aw_f, ohB) > 0.5
+                paw = awA & (awB | (b_dynf < 0.5))
+                wp_eff = jnp.where(anyact & paw, wp_c, 0.0)  # [P, B]
+                # application point: active-manifold centroid (where the
+                # stored impulse was accumulated — see the tri warm block)
+                cw_x, cw_y, cw_z = cen_x, cen_y, cen_z
+                dvx_w, dvy_w, dvz_w, dwx_w, dwy_w, dwz_w = c
+                pwx = pn2_x * wp_eff
+                pwy = pn2_y * wp_eff
+                pwz = pn2_z * wp_eff
+                dvx_w = dvx_w + _einsum32("pb,pdb->db", pwx * a_invm, ohA)
+                dvy_w = dvy_w + _einsum32("pb,pdb->db", pwy * a_invm, ohA)
+                dvz_w = dvz_w + _einsum32("pb,pdb->db", pwz * a_invm, ohA)
+                tqwx, tqwy, tqwz = g.cross3(
+                    cw_x - cA_tx, cw_y - cA_ty, cw_z - cA_tz, pwx, pwy, pwz
+                )
+                awx_, awy_, awz_ = rot_inv_apply(
+                    pA_qx, pA_qy, pA_qz, pA_qw, a_iIx, a_iIy, a_iIz, tqwx, tqwy, tqwz
+                )
+                dwx_w = dwx_w + _einsum32("pb,pdb->db", awx_, ohA)
+                dwy_w = dwy_w + _einsum32("pb,pdb->db", awy_, ohA)
+                dwz_w = dwz_w + _einsum32("pb,pdb->db", awz_, ohA)
+                dvx_w = dvx_w - _einsum32("pb,pdb->db", pwx * b_invm, ohB)
+                dvy_w = dvy_w - _einsum32("pb,pdb->db", pwy * b_invm, ohB)
+                dvz_w = dvz_w - _einsum32("pb,pdb->db", pwz * b_invm, ohB)
+                tqwx, tqwy, tqwz = g.cross3(
+                    cw_x - cB_tx, cw_y - cB_ty, cw_z - cB_tz, -pwx, -pwy, -pwz
+                )
+                bwx_, bwy_, bwz_ = rot_inv_apply(
+                    pB_qx, pB_qy, pB_qz, pB_qw, b_iIx, b_iIy, b_iIz, tqwx, tqwy, tqwz
+                )
+                dwx_w = dwx_w + _einsum32("pb,pdb->db", bwx_, ohB)
+                dwy_w = dwy_w + _einsum32("pb,pdb->db", bwy_, ohB)
+                dwz_w = dwz_w + _einsum32("pb,pdb->db", bwz_, ohB)
+                c = (dvx_w, dvy_w, dvz_w, dwx_w, dwy_w, dwz_w)
+
                 def pair_iter(_, carry):
                     dvx, dvy, dvz, dwx, dwy, dwz, acc = carry
                     vAx0, vAy0, vAz0 = gAh(dvx), gAh(dvy), gAh(dvz)
@@ -1357,8 +1481,9 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
                         relx, rely, relz = rel_at()
                         vn = relx * pn2_x + rely * pn2_y + relz * pn2_z
                         k_n = keff(pn2_x, pn2_y, pn2_z)
-                        jn = jnp.where(act_k & (vn < 0), -vn / jnp.maximum(k_n, 1e-9), 0.0) * RELAX
-                        pc_n = acc["pc_n"] + jn
+                        jn_d = jnp.where(act_k, -vn / jnp.maximum(k_n, 1e-9), 0.0) * RELAX
+                        pc_n = jnp.maximum(acc["pc_n"] + jn_d, 0.0)
+                        jn = pc_n - acc["pc_n"]
                         st_ = apply_(st_, pn2_x * jn, pn2_y * jn, pn2_z * jn)
                         if with_friction:
                             vAx, vAy, vAz, wAx, wAy, wAz, vBx, vBy, vBz, wBx, wBy, wBz = st_
@@ -1414,8 +1539,9 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
                         - (e4(vBz) + e4(wBx) * rBy - e4(wBy) * rBx)
                     )
                     vn = relx * nkx + rely * nky + relz * nkz
-                    jn = jnp.where(pact & (vn < 0), -vn / jnp.maximum(k_pair, 1e-9), 0.0) * RELAX
-                    pp_n = acc["pp_n"] + jn
+                    jn_d = jnp.where(pact, -vn / jnp.maximum(k_pair, 1e-9), 0.0) * RELAX
+                    pp_n = jnp.maximum(acc["pp_n"] + jn_d, 0.0)
+                    jn = pp_n - acc["pp_n"]
                     ix_, iy_, iz_ = nkx * jn, nky * jn, nkz * jn
                     # friction per point against the pre-impulse tangential motion
                     vtx = relx - nkx * vn
@@ -1497,7 +1623,7 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
                 # module small enough to compile in seconds.
                 _c = c + (dict(
                     _tri_acc0(),
-                    pc_n=jnp.zeros_like(cen_x), pc_t=jnp.zeros_like(cen_x),
+                    pc_n=wp_eff, pc_t=jnp.zeros_like(cen_x),
                     pp_n=jnp.zeros_like(pd0), pp_t=jnp.zeros_like(pd0),
                 ),)
                 if _unroll_loops():
@@ -1528,14 +1654,36 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
                 pushdz = _einsum32("pb,pdb->db", puz * shareA, ohA) - _einsum32(
                     "pb,pdb->db", puz * shareB, ohB
                 )
-                return c + (pushdx, pushdy, pushdz)
+                acc_f = _c[6]
+                wt_o = jnp.where(coherent, acc_f["tc_n"], 0.0)
+                wp_o = jnp.where(anyact, acc_f["pc_n"], 0.0)
+                return c + (pushdx, pushdy, pushdz, wt_o, wp_o)
 
             _c0 = (dvx, dvy, dvz, dwx, dwy, dwz)
             if pairs_enabled:
                 outs = jax.lax.cond(pair_any, loop_with_pairs, loop_tri_only, _c0)
             else:
                 outs = loop_tri_only(_c0)
-            dvx, dvy, dvz, dwx, dwy, dwz, pushdx, pushdy, pushdz = outs
+            (dvx, dvy, dvz, dwx, dwy, dwz, pushdx, pushdy, pushdz,
+             wt_new, wp_new) = outs
+            # slew-rate-limited cache update: impact spikes must NOT enter
+            # the warm cache. Re-applying a landing spike next substep is
+            # only safe if the solve can fully return it; our fixed-sweep
+            # Jacobi returns it from the world contact UP the chain and
+            # runs out of iterations, leaving an upward velocity gradient
+            # that launches the stack (measured 1:2:3 on a settling
+            # 3-stack). Capping growth at doubling-plus-one-body-weight
+            # per substep keeps spikes out while reaching any static
+            # support level in log2(weight) substeps.
+            # The stored value is also EMA-smoothed: the raw
+            # apply-return-rebuild loop has enough gain to limit-cycle on
+            # deep stacks (measured on a pre-placed 6-stack: the cache
+            # oscillates 1.4<->4.7 with ~15-tick period, growing until
+            # collapse); halving the update gain damps it to a fixpoint.
+            seed_t = (h * -GRAVITY_Y) / jnp.maximum(d_inv_m, 1e-6)  # [D, 1]
+            wt_new = jnp.minimum(0.5 * (wt_new + wt_c), wt_c * 2.0 + seed_t)
+            seed_p = (h * -GRAVITY_Y) / jnp.maximum(a_invm, 1e-6)  # [P, B]
+            wp_new = jnp.minimum(0.5 * (wp_new + wp_c), wp_c * 2.0 + seed_p)
             # position integration with the POST-solve velocities (see the
             # symplectic-order note at the top of the substep), plus the
             # Baumgarte penetration push
@@ -1554,9 +1702,11 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
             dqz = jnp.where(on, nqz / qn, dqz)
             dqw = jnp.where(on, nqw / qn, dqw)
 
-            return (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz), None
+            return (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz,
+                    wt_new, wp_new), None
 
-        carry = (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz)
+        carry = (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz,
+                 wt_st, wp0)
         if _unroll_loops():  # unrolled for cross-substep fusion (TPU)
             for _s in range(n_substeps):
                 carry, _ = substep(carry, None)
@@ -1572,7 +1722,8 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
         # on a NEAR-HORIZONTAL support (contact normal within ~18 deg of
         # up — excludes slopes, so Coulomb slide start-up can still crawl
         # through the band and escape) bleed the residual each tick.
-        (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz) = carry
+        (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz,
+         wt_fin, wp_fin) = carry
         flat_tri = jnp.any((gen_d > -0.05) & (c_ny > 0.95), axis=1)  # [D, B]
         # pair_bp (full support sum + slack), NOT near0: near0's 0.8-shrunk
         # sum misses genuinely stacked flush boxes
@@ -1586,11 +1737,33 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
         damp = jnp.where(bleed, REST_BLEED, 1.0)
         dvx, dvy, dvz = dvx * damp, dvy * damp, dvz * damp
         dwx, dwy, dwz = dwx * damp, dwy * damp, dwz * damp
-        return (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz)
+
+        # warm-cache writeback: sleeping lanes/pairs keep their stored
+        # values (their manifolds weren't generated this tick, so the
+        # solver outputs are zero — not "no contact"); ticks with no live
+        # pair activity keep the stored keys wholesale.
+        wt_act = jnp.where(awake, wt_fin, wt_st)
+        aw_f2 = awake.astype(jnp.float32)
+        paw2 = (
+            _einsum32("db,pdb->pb", aw_f2, ohA)
+            + _einsum32("db,pdb->pb", aw_f2, ohB)
+        ) > 0.5
+        wp_act = jnp.where(paw2, wp_fin, wp0)
+        wp_act = jnp.where(pair_any, wp_act, wvals_st[:P])
+        keys_act = jnp.where(pair_any, fidx_keys, wkeys_st[:P])
+        return (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz,
+                wt_act, wp_act, keys_act)
 
     carry0 = (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz)
-    carry = jax.lax.cond(jnp.any(awake), _bodies_active, lambda c: c, carry0)
-    (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz) = carry
+
+    def _bodies_idle(c):
+        # nothing awake: poses frozen, warm cache passes through untouched
+        # (so a woken stack restarts from its settled impulse set)
+        return c + (wt_st, wvals_st[:P], wkeys_st[:P])
+
+    carry = jax.lax.cond(jnp.any(awake), _bodies_active, _bodies_idle, carry0)
+    (dpx, dpy, dpz, dqx, dqy, dqz, dqw, dvx, dvy, dvz, dwx, dwy, dwz,
+     wt_ret, wp_ret, wkeys_ret) = carry
 
     # sleep counter: consecutive ticks with point velocity (|v| + |w|*r
     # bound) under threshold; capped at SLEEP_AFTER
@@ -1621,4 +1794,15 @@ def step_bodies_batched(cmap, actors, player_pos, player_vel, dt, n_substeps: in
     omega = jnp.where(m3, domega_new, actors.omega)
     sleep_n = _einsum32("db,dn->bn", sleep_new.astype(jnp.float32), d2n).astype(jnp.int32)
     sleep = jnp.where(live, sleep_n, actors.sleep)
-    return pos, quat, vel, omega, sleep
+
+    # warm-start cache writeback ([D, B]/[P, B] solver layouts -> state)
+    warm_bn = _einsum32("db,dn->bn", wt_ret, d2n)
+    warm_n_new = jnp.where(live, warm_bn, actors.warm_n)
+    pc_pad = actors.warm_pair.shape[1] - P
+    if pc_pad:
+        wp_ret = jnp.concatenate([wp_ret, jnp.zeros((pc_pad, B), jnp.float32)], 0)
+        wkeys_ret = jnp.concatenate(
+            [wkeys_ret, jnp.full((pc_pad, B), -1, jnp.int32)], 0
+        )
+    return (pos, quat, vel, omega, sleep,
+            warm_n_new, wp_ret.T, wkeys_ret.T)
